@@ -1,0 +1,296 @@
+"""Prompt assembly + the jitted autoregressive frame loop.
+
+Prompt layouts reproduce reference modeling_qwen3_tts.py:2021-2292
+token-for-token (dual-track text/codec sum, think/language prefix, speaker
+row-embedding injection, ICL ref-code prefix, streaming vs non-streaming text
+alignment, left-padded packing). The loop itself is a `lax.while_loop` over
+the fused decode step — the whole generation compiles to one XLA program.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import TalkerConfig, TTSConfig
+from ..nn.cache import KVCache
+from ..nn.layers import embed, resize_mlp
+from ..nn.sampling import SamplingConfig, make_suppress_mask
+from .talker import (TalkerState, talker_decode_step, talker_prefill, talker_spec)
+
+
+# ---------------------------------------------------------------------------
+# Host-side prompt assembly
+# ---------------------------------------------------------------------------
+
+
+def _text_embed(params: dict, ids: jax.Array) -> jax.Array:
+    """text_embedding -> text_projection bridge (reference :1575-1577)."""
+    return resize_mlp(embed(params["text_embedding"], ids), params["text_projection"])
+
+
+def _codec_embed(params: dict, ids) -> jax.Array:
+    return embed(params["codec_embedding"], jnp.asarray(ids, jnp.int32))
+
+
+@dataclasses.dataclass
+class AssembledPrompt:
+    inputs_embeds: jax.Array          # (B, T, H) left-padded
+    attention_mask: jax.Array         # (B, T)
+    trailing_text_hidden: jax.Array   # (B, T_text, H) pad-embed filled
+    tts_pad_embed: jax.Array          # (1, H)
+
+
+def special_text_embeds(params: dict, cfg: TTSConfig):
+    """(tts_bos, tts_eos, tts_pad) projected text embeds, each (1, H)."""
+    ids = jnp.asarray([cfg.tts_bos_token_id, cfg.tts_eos_token_id, cfg.tts_pad_token_id])
+    e = _text_embed(params, ids)
+    return e[0:1], e[1:2], e[2:3]
+
+
+def build_icl_prompt(params: dict, cfg: TTSConfig, text_id: jax.Array,
+                     ref_id: jax.Array, ref_code: jax.Array,
+                     tts_pad_embed: jax.Array, tts_eos_embed: jax.Array,
+                     non_streaming_mode: bool):
+    """Voice-clone ICL prefix (reference modeling_qwen3_tts.py:1968-2019).
+
+    text_id/ref_id: (T,) int; ref_code: (T_ref, num_code_groups) int.
+    Returns (icl_embed (T', H), trailing (T_trail, H))."""
+    tcfg = cfg.talker
+    text_embed = _text_embed(params, jnp.concatenate([ref_id, text_id]))
+    text_embed = jnp.concatenate([text_embed, tts_eos_embed], axis=0)  # (T1, H)
+
+    # summed multi-codebook embedding of the reference codes
+    cp_tables = params["code_predictor"]["codec_embeddings"]  # (15, Vcp, H)
+    code0_embed = _codec_embed(params, ref_code[:, 0])  # (T_ref, H)
+    rest = jax.vmap(lambda tbl, ids: embed(tbl, ids), in_axes=(0, 1), out_axes=0)(
+        cp_tables, ref_code[:, 1:])  # (15, T_ref, H)
+    codec_embed = code0_embed + jnp.sum(rest, axis=0)  # (T_ref, H)
+    bos = _codec_embed(params, [tcfg.codec_bos_id])
+    codec_embed = jnp.concatenate([bos, codec_embed], axis=0)  # (T2, H)
+
+    t1, t2 = text_embed.shape[0], codec_embed.shape[0]
+    if non_streaming_mode:
+        pad_codec = _codec_embed(params, [tcfg.codec_pad_id] * t1)
+        icl = jnp.concatenate([text_embed + pad_codec, codec_embed + tts_pad_embed], axis=0)
+        return icl, tts_pad_embed
+    if t1 > t2:
+        return text_embed[:t2] + codec_embed, text_embed[t2:]
+    pad = jnp.broadcast_to(tts_pad_embed, (t2 - t1, text_embed.shape[-1]))
+    return jnp.concatenate([text_embed, pad], axis=0) + codec_embed, tts_pad_embed
+
+
+def assemble_prompts(
+    params: dict,
+    cfg: TTSConfig,
+    input_ids: Sequence[np.ndarray],           # per-sample (T,) assistant-template ids
+    languages: Sequence[str],
+    speakers: Sequence[str | None] | None = None,
+    instruct_ids: Sequence[np.ndarray | None] | None = None,
+    ref_ids: Sequence[np.ndarray | None] | None = None,
+    voice_clone_prompt: dict | None = None,
+    non_streaming_mode: bool = False,
+) -> AssembledPrompt:
+    """Per-sample dual-track prompt assembly + left-padded batch packing
+    (reference modeling_qwen3_tts.py:2068-2269)."""
+    tcfg = cfg.talker
+    spk_map = tcfg.spk_id_map()
+    dialect_map = tcfg.spk_is_dialect_map()
+    lang_map = tcfg.codec_language_id_map()
+    b = len(input_ids)
+    if speakers is None:
+        speakers = [None] * b
+
+    tts_bos_embed, tts_eos_embed, tts_pad_embed = special_text_embeds(params, cfg)
+
+    embeds_list, trailing_list = [], []
+    for i in range(b):
+        input_id = jnp.asarray(input_ids[i], jnp.int32)
+        language = languages[i]
+        speaker = speakers[i]
+        parts = []
+
+        if instruct_ids is not None and instruct_ids[i] is not None:
+            parts.append(_text_embed(params, jnp.asarray(instruct_ids[i], jnp.int32)))
+
+        # speaker embedding: voice-clone x-vector / speaker row id / none
+        speaker_embed = None
+        if voice_clone_prompt is not None:
+            if voice_clone_prompt["x_vector_only_mode"][i] or voice_clone_prompt["icl_mode"][i]:
+                speaker_embed = jnp.asarray(voice_clone_prompt["ref_spk_embedding"][i])
+        elif speaker:
+            if speaker.lower() not in spk_map:
+                raise NotImplementedError(f"Speaker {speaker} not implemented")
+            speaker_embed = _codec_embed(params, spk_map[speaker.lower()])
+
+        # language prefix (think/nothink + optional language id)
+        if language.lower() == "auto":
+            language_id = None
+        else:
+            if language.lower() not in lang_map:
+                raise NotImplementedError(f"Language {language} not implemented")
+            language_id = lang_map[language.lower()]
+        if (language.lower() in ("chinese", "auto") and speaker
+                and dialect_map.get(speaker.lower(), False)):
+            language_id = lang_map[dialect_map[speaker.lower()]]
+
+        if language_id is None:
+            prefix = [tcfg.codec_nothink_id, tcfg.codec_think_bos_id, tcfg.codec_think_eos_id]
+        else:
+            prefix = [tcfg.codec_think_id, tcfg.codec_think_bos_id, language_id,
+                      tcfg.codec_think_eos_id]
+        codec_emb0 = _codec_embed(params, prefix)
+        codec_emb1 = _codec_embed(params, [tcfg.codec_pad_id, tcfg.codec_bos_id])
+        if speaker_embed is None:
+            codec_embedding = jnp.concatenate([codec_emb0, codec_emb1], axis=0)
+        else:
+            codec_embedding = jnp.concatenate(
+                [codec_emb0, speaker_embed.reshape(1, -1).astype(codec_emb0.dtype),
+                 codec_emb1], axis=0)
+
+        role_embed = _text_embed(params, input_id[:3])  # "<|im_start|>assistant\n"
+        n_prefix = codec_embedding.shape[0]
+        text_track = jnp.concatenate(
+            [jnp.broadcast_to(tts_pad_embed, (n_prefix - 2, tts_pad_embed.shape[-1])),
+             tts_bos_embed], axis=0)
+        talker_embed = jnp.concatenate([role_embed, text_track + codec_embedding[:-1]], axis=0)
+
+        icl_active = (voice_clone_prompt is not None
+                      and voice_clone_prompt.get("ref_code") is not None
+                      and voice_clone_prompt["icl_mode"][i])
+        if icl_active:
+            icl_embed, trailing = build_icl_prompt(
+                params, cfg,
+                text_id=input_id[3:-5],
+                ref_id=jnp.asarray(ref_ids[i], jnp.int32)[3:-2],
+                ref_code=jnp.asarray(voice_clone_prompt["ref_code"][i], jnp.int32),
+                tts_pad_embed=tts_pad_embed, tts_eos_embed=tts_eos_embed,
+                non_streaming_mode=non_streaming_mode)
+            talker_embed = jnp.concatenate([talker_embed, icl_embed], axis=0)
+        else:
+            first_text = _text_embed(params, input_id[3:4]) + codec_embedding[-1:]
+            talker_embed = jnp.concatenate([talker_embed, first_text], axis=0)
+            if non_streaming_mode:
+                talker_embed = talker_embed[:-1]
+                body = jnp.concatenate(
+                    [_text_embed(params, input_id[3:-5]), tts_eos_embed], axis=0)
+                pad_codec = _codec_embed(
+                    params, [tcfg.codec_pad_id] * body.shape[0])
+                bos_codec = tts_pad_embed + _codec_embed(params, [tcfg.codec_bos_id])
+                talker_embed = jnp.concatenate(
+                    [talker_embed, body + pad_codec, bos_codec], axis=0)
+                trailing = tts_pad_embed
+            else:
+                trailing = jnp.concatenate(
+                    [_text_embed(params, input_id[4:-5]), tts_eos_embed], axis=0)
+
+        embeds_list.append(talker_embed)
+        trailing_list.append(trailing)
+
+    # left-pad pack (reference :2239-2254)
+    lengths = [e.shape[0] for e in embeds_list]
+    t_max = max(lengths)
+    h = embeds_list[0].shape[-1]
+    packed = jnp.stack([
+        jnp.concatenate([jnp.zeros((t_max - e.shape[0], h), e.dtype), e]) for e in embeds_list])
+    mask = np.zeros((b, t_max), np.int32)
+    for i, ln in enumerate(lengths):
+        mask[i, t_max - ln:] = 1
+
+    # trailing text: right-pad with the pad embed (reference :2255-2269)
+    tr_max = max(t.shape[0] for t in trailing_list)
+    trailing = jnp.stack([
+        jnp.concatenate([t, jnp.broadcast_to(tts_pad_embed, (tr_max - t.shape[0], h))])
+        for t in trailing_list])
+
+    return AssembledPrompt(
+        inputs_embeds=packed,
+        attention_mask=jnp.asarray(mask),
+        trailing_text_hidden=trailing,
+        tts_pad_embed=tts_pad_embed,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Jitted generation loop
+# ---------------------------------------------------------------------------
+
+
+class GenerateResult(NamedTuple):
+    codes: jax.Array        # (B, max_frames, num_code_groups) int32
+    num_frames: jax.Array   # (B,) frames before (exclusive) the EOS frame
+    hidden: jax.Array | None  # (B, max_frames, H) if collected
+
+
+def generate_frames(
+    params: dict,
+    cfg: TalkerConfig,
+    inputs_embeds: jax.Array,
+    attention_mask: jax.Array,
+    trailing_text_hidden: jax.Array,
+    tts_pad_embed: jax.Array,
+    key: jax.Array,
+    max_frames: int,
+    sampling: SamplingConfig,
+    subtalker_sampling: SamplingConfig,
+    collect_hidden: bool = False,
+) -> GenerateResult:
+    """Full AR loop as one XLA program (prefill + while_loop of fused steps)."""
+    spec = talker_spec(cfg)
+    b, t, hdim = inputs_embeds.shape
+    cache_len = t + max_frames + 1
+    cache = KVCache.create(spec.num_layers, b, cache_len, spec.num_kv_heads,
+                           spec.head_dim, dtype=inputs_embeds.dtype)
+
+    suppress = make_suppress_mask(cfg.vocab_size, 1024, (cfg.codec_eos_token_id,))
+
+    state = talker_prefill(params, cfg, inputs_embeds, attention_mask, cache,
+                           key, sampling, suppress)
+
+    pad_mask_full = jnp.concatenate(
+        [attention_mask, jnp.ones((b, cache_len - t), attention_mask.dtype)], axis=-1)
+
+    codes_buf = jnp.zeros((b, max_frames, cfg.num_code_groups), jnp.int32)
+    hidden_buf = (jnp.zeros((b, max_frames, hdim), inputs_embeds.dtype)
+                  if collect_hidden else jnp.zeros((b, 1, 1), inputs_embeds.dtype))
+
+    def cond(carry):
+        st, _, _ = carry
+        return (st.step < max_frames) & ~jnp.all(st.done)
+
+    def body(carry):
+        st, codes, hiddens = carry
+        new_st, frame, frame_hidden = talker_decode_step(
+            params, cfg, st, trailing_text_hidden, tts_pad_embed, pad_mask_full,
+            sampling, subtalker_sampling, suppress)
+        codes = jax.lax.dynamic_update_slice(codes, frame[:, None, :], (0, st.step, 0))
+        if collect_hidden:
+            hiddens = jax.lax.dynamic_update_slice(
+                hiddens, frame_hidden[:, None, :], (0, st.step, 0))
+        return new_st, codes, hiddens
+
+    state, codes_buf, hidden_buf = jax.lax.while_loop(
+        cond, body, (state, codes_buf, hidden_buf))
+
+    # effective length: first EOS in codebook 0 (reference :2283-2291)
+    frame_count = state.step
+    first_cb = codes_buf[:, :, 0]
+    valid = jnp.arange(max_frames)[None, :] < frame_count
+    is_eos = (first_cb == cfg.codec_eos_token_id) & valid
+    any_eos = jnp.any(is_eos, axis=1)
+    eos_idx = jnp.argmax(is_eos, axis=1)
+    num_frames = jnp.where(any_eos, eos_idx, frame_count)
+
+    return GenerateResult(codes=codes_buf, num_frames=num_frames,
+                          hidden=hidden_buf if collect_hidden else None)
+
+
+def trim_codes(result: GenerateResult) -> list[np.ndarray]:
+    """Host-side per-sample EOS trim -> list of (T_i, num_code_groups)."""
+    codes = np.asarray(result.codes)
+    lengths = np.asarray(result.num_frames)
+    return [codes[i, :lengths[i]] for i in range(codes.shape[0])]

@@ -1,0 +1,293 @@
+"""TPU-native codec LM: talker + code-predictor ("sub-talker").
+
+Replaces the reference's HF GenerationMixin runtime (nested dynamic
+`generate` per frame, reference modeling_qwen3_tts.py:1564-1810) with a
+static-shape fused decode step: one jitted function runs the talker layer
+stack over the KV cache, samples codebook 0, then unrolls the 15-step
+code-predictor loop (whose tiny 17-slot KV cache lives entirely on-chip),
+and assembles the next frame's input embedding — no host round-trips.
+
+Weight layout notes: all projection matrices are stored (in, out) — i.e.
+transposed from torch Linear — and per-layer weights are stacked on a
+leading L axis for `lax.scan`.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import CodePredictorConfig, TalkerConfig
+from ..nn.cache import KVCache
+from ..nn.layers import embed, linear, resize_mlp
+from ..nn.rope import make_inv_freq, rope_cos_sin
+from ..nn.sampling import SamplingConfig, process_logits, sample_token
+from ..nn.transformer import (DecoderSpec, cache_attention_mask, init_stack_params,
+                              stack_forward)
+
+
+def talker_spec(cfg: TalkerConfig) -> DecoderSpec:
+    return DecoderSpec(
+        hidden_size=cfg.hidden_size,
+        intermediate_size=cfg.intermediate_size,
+        num_layers=cfg.num_hidden_layers,
+        num_heads=cfg.num_attention_heads,
+        num_kv_heads=cfg.num_key_value_heads,
+        head_dim=cfg.head_dim,
+        rms_norm_eps=cfg.rms_norm_eps,
+        rope_theta=cfg.rope_theta,
+        sliding_window=cfg.sliding_window,
+        qk_norm=True,
+        attention_bias=cfg.attention_bias,
+    )
+
+
+def predictor_spec(cfg: CodePredictorConfig) -> DecoderSpec:
+    return DecoderSpec(
+        hidden_size=cfg.hidden_size,
+        intermediate_size=cfg.intermediate_size,
+        num_layers=cfg.num_hidden_layers,
+        num_heads=cfg.num_attention_heads,
+        num_kv_heads=cfg.num_key_value_heads,
+        head_dim=cfg.head_dim,
+        rms_norm_eps=cfg.rms_norm_eps,
+        rope_theta=cfg.rope_theta,
+        sliding_window=cfg.sliding_window,
+        qk_norm=True,
+        attention_bias=cfg.attention_bias,
+    )
+
+
+def init_talker_params(key: jax.Array, cfg: TalkerConfig, dtype=jnp.float32) -> dict:
+    """Random talker+predictor params with the production layout (tests)."""
+    cp = cfg.code_predictor
+    n_extra = cfg.num_code_groups - 1
+    ks = jax.random.split(key, 12)
+    s = 0.02
+
+    def rnd(k, shape):
+        return (jax.random.normal(k, shape) * s).astype(dtype)
+
+    return {
+        "text_embedding": rnd(ks[0], (cfg.text_vocab_size, cfg.text_hidden_size)),
+        "codec_embedding": rnd(ks[1], (cfg.vocab_size, cfg.hidden_size)),
+        "text_projection": {
+            "fc1": rnd(ks[2], (cfg.text_hidden_size, cfg.text_hidden_size)),
+            "fc1_b": jnp.zeros((cfg.text_hidden_size,), dtype),
+            "fc2": rnd(ks[3], (cfg.text_hidden_size, cfg.hidden_size)),
+            "fc2_b": jnp.zeros((cfg.hidden_size,), dtype),
+        },
+        "layers": init_stack_params(ks[4], talker_spec(cfg), dtype),
+        "codec_head": rnd(ks[5], (cfg.hidden_size, cfg.vocab_size)),
+        "code_predictor": {
+            "small_to_mtp": rnd(ks[6], (cfg.hidden_size, cp.hidden_size)),
+            "small_to_mtp_b": jnp.zeros((cp.hidden_size,), dtype),
+            "codec_embeddings": rnd(ks[7], (n_extra, cp.vocab_size, cfg.hidden_size)),
+            "lm_heads": rnd(ks[8], (n_extra, cp.hidden_size, cp.vocab_size)),
+            "layers": init_stack_params(ks[9], predictor_spec(cp), dtype),
+        },
+    }
+
+
+# ---------------------------------------------------------------------------
+# Code predictor: 15 sequential micro-forwards fused into the decode step
+# ---------------------------------------------------------------------------
+
+
+def code_predictor_generate(
+    params: dict,
+    cfg: TalkerConfig,
+    past_hidden: jax.Array,   # (B, H_talker) last talker hidden
+    first_embed: jax.Array,   # (B, H_talker) talker codec_embedding of codebook-0 id
+    key: jax.Array,
+    sampling: SamplingConfig,
+) -> tuple[jax.Array, jax.Array]:
+    """Nested AR sampling over the residual codebooks
+    (reference modeling_qwen3_tts.py:1670-1686, 1249-1312).
+
+    Returns (codes (B, num_code_groups-1) int32,
+             embed_sum (B, H_talker) = sum of the 15 code-group embeddings).
+    """
+    cp_cfg = cfg.code_predictor
+    spec = predictor_spec(cp_cfg)
+    p = params["code_predictor"]
+    n_steps = cfg.num_code_groups - 1
+    b = past_hidden.shape[0]
+    dtype = past_hidden.dtype
+    max_cp = n_steps + 2
+
+    inv_freq = make_inv_freq(spec.head_dim, spec.rope_theta)
+    cache = KVCache.create(spec.num_layers, b, max_cp, spec.num_kv_heads,
+                           spec.head_dim, dtype=dtype)
+    ones_mask = jnp.ones((b, max_cp), jnp.int32)
+
+    def mtp_proj(x):
+        return linear(x, p["small_to_mtp"], p["small_to_mtp_b"])
+
+    # --- prefill with [past_hidden, first_embed] (generation_steps -> 0) ---
+    x0 = jnp.stack([past_hidden, first_embed], axis=1)  # (B, 2, H_talker)
+    x0 = mtp_proj(x0)
+    pos = jnp.broadcast_to(jnp.arange(2)[None, :], (b, 2))
+    cos, sin = rope_cos_sin(pos, inv_freq, dtype)
+    mask = cache_attention_mask(ones_mask, 2, cache.index, max_cp, spec.sliding_window)
+    h, cache = stack_forward(spec, p["layers"], x0, cos, sin, mask, cache)
+    last_h = h[:, -1]  # (B, H_cp)
+
+    codes = []
+    embed_sum = jnp.zeros_like(past_hidden)
+    for step in range(n_steps):
+        logits = linear(last_h, p["lm_heads"][step])  # (B, V_cp)
+        key, sub = jax.random.split(key)
+        proc = process_logits(logits, sampling)
+        tok = sample_token(sub, proc, sampling.do_sample)  # (B,)
+        codes.append(tok)
+        tok_embed = embed(p["codec_embeddings"][step], tok)  # (B, H_talker)
+        embed_sum = embed_sum + tok_embed
+        if step < n_steps - 1:
+            x = mtp_proj(tok_embed)[:, None, :]  # (B, 1, H_cp)
+            pos = jnp.full((b, 1), step + 2, jnp.int32)
+            cos, sin = rope_cos_sin(pos, inv_freq, dtype)
+            mask = cache_attention_mask(ones_mask, 1, cache.index, max_cp,
+                                        spec.sliding_window)
+            h, cache = stack_forward(spec, p["layers"], x, cos, sin, mask, cache)
+            last_h = h[:, -1]
+
+    return jnp.stack(codes, axis=1).astype(jnp.int32), embed_sum
+
+
+# ---------------------------------------------------------------------------
+# Talker prefill & fused decode step
+# ---------------------------------------------------------------------------
+
+
+class TalkerState(NamedTuple):
+    """Carried state of the frame-generation loop."""
+
+    cache: KVCache
+    token0: jax.Array        # (B,) last sampled codebook-0 id
+    past_hidden: jax.Array   # (B, H) last talker hidden (post-norm)
+    seen: jax.Array          # (B, V) repetition-penalty token set
+    done: jax.Array          # (B,) bool: EOS sampled
+    key: jax.Array
+    step: jax.Array          # scalar int32: frames generated so far
+    num_pads: jax.Array      # (B,) left-pad counts (rope delta)
+
+
+def talker_prefill(
+    params: dict,
+    cfg: TalkerConfig,
+    inputs_embeds: jax.Array,    # (B, T, H) assembled prompt
+    attention_mask: jax.Array,   # (B, T) 1=valid (left-padded)
+    cache: KVCache,
+    key: jax.Array,
+    sampling: SamplingConfig,
+    suppress_mask: jax.Array,
+) -> TalkerState:
+    """Prompt forward + first codebook-0 sample (reference: HF generate's
+    first forward over inputs_embeds, modeling_qwen3_tts.py:2272-2278)."""
+    spec = talker_spec(cfg)
+    b, t, _ = inputs_embeds.shape
+    inv_freq = make_inv_freq(spec.head_dim, spec.rope_theta)
+
+    # mRoPE positions collapse to 1D: cumsum(mask) - 1 (reference :1794-1800)
+    positions = jnp.cumsum(attention_mask, axis=-1) - 1
+    positions = jnp.maximum(positions, 0)
+    cos, sin = rope_cos_sin(positions, inv_freq, inputs_embeds.dtype)
+
+    pad_full = jnp.concatenate(
+        [attention_mask, jnp.ones((b, cache.max_len - t), attention_mask.dtype)], axis=-1)
+    mask = cache_attention_mask(pad_full, t, cache.index, cache.max_len,
+                                spec.sliding_window)
+    h, cache = stack_forward(spec, params["layers"], inputs_embeds, cos, sin, mask, cache)
+
+    last_h = h[:, -1]                      # (B, H) — right-aligned batch
+    logits = linear(last_h, params["codec_head"]).astype(jnp.float32)
+
+    seen = jnp.zeros((b, cfg.vocab_size), bool)
+    key, sub = jax.random.split(key)
+    block_eos = jnp.ones((b,), bool)  # min_new_tokens=2: frame 0 blocked
+    proc = process_logits(logits, sampling, seen, suppress_mask,
+                          cfg.codec_eos_token_id, block_eos)
+    token0 = sample_token(sub, proc, sampling.do_sample)
+    seen = seen.at[jnp.arange(b), token0].set(True)
+
+    num_pads = (t - jnp.sum(attention_mask, axis=-1)).astype(jnp.int32)
+    return TalkerState(
+        cache=cache,
+        token0=token0,
+        past_hidden=last_h,
+        seen=seen,
+        done=jnp.zeros((b,), bool),
+        key=key,
+        step=jnp.zeros((), jnp.int32),
+        num_pads=num_pads,
+    )
+
+
+def talker_decode_step(
+    params: dict,
+    cfg: TalkerConfig,
+    state: TalkerState,
+    trailing_text_hidden: jax.Array,  # (B, T_text, H), pad-embed filled
+    tts_pad_embed: jax.Array,         # (1, H) or (B, H)
+    pad_mask_full: jax.Array,         # (B, S_max) cache-slot validity
+    sampling: SamplingConfig,
+    subtalker_sampling: SamplingConfig,
+    suppress_mask: jax.Array,
+) -> tuple[TalkerState, jax.Array, jax.Array]:
+    """One frame: sub-talker codes for the current token0, then the talker
+    forward that samples the next token0 (reference modeling_qwen3_tts.py:
+    1664-1744). Returns (new_state, frame (B, num_code_groups) int32,
+    frame_hidden (B, H))."""
+    spec = talker_spec(cfg)
+    b = state.token0.shape[0]
+    inv_freq = make_inv_freq(spec.head_dim, spec.rope_theta)
+
+    last_id_hidden = embed(params["codec_embedding"], state.token0)  # (B, H)
+
+    key, cp_key = jax.random.split(state.key)
+    cp_codes, cp_embed_sum = code_predictor_generate(
+        params, cfg, state.past_hidden, last_id_hidden, cp_key, subtalker_sampling)
+    frame = jnp.concatenate([state.token0[:, None], cp_codes], axis=1)
+    frame_hidden = state.past_hidden
+
+    # next-step input: sum of all 16 embeddings + trailing text (or pad)
+    next_embed = last_id_hidden + cp_embed_sum
+    t_text = trailing_text_hidden.shape[1]
+    idx = jnp.minimum(state.step, t_text - 1)
+    text_h = jax.lax.dynamic_index_in_dim(trailing_text_hidden, idx, axis=1,
+                                          keepdims=False)  # (B, H)
+    text_h = jnp.where((state.step < t_text)[..., None], text_h,
+                       jnp.broadcast_to(tts_pad_embed, text_h.shape))
+    x = (next_embed + text_h)[:, None, :]  # (B, 1, H)
+
+    positions = (state.cache.index - state.num_pads)[:, None]  # (B, 1)
+    cos, sin = rope_cos_sin(positions, inv_freq, x.dtype)
+    mask = cache_attention_mask(pad_mask_full, 1, state.cache.index,
+                                state.cache.max_len, spec.sliding_window)
+    h, cache = stack_forward(spec, params["layers"], x, cos, sin, mask, state.cache)
+    last_h = h[:, -1]
+    logits = linear(last_h, params["codec_head"]).astype(jnp.float32)
+
+    key, sub = jax.random.split(key)
+    block_eos = (state.step + 1) < 2  # min_new_tokens=2
+    proc = process_logits(logits, sampling, state.seen, suppress_mask,
+                          cfg.codec_eos_token_id,
+                          jnp.broadcast_to(block_eos, (b,)))
+    token0 = sample_token(sub, proc, sampling.do_sample)
+    seen = state.seen.at[jnp.arange(b), token0].set(True)
+    done = state.done | (state.token0 == cfg.codec_eos_token_id)
+
+    new_state = TalkerState(
+        cache=cache,
+        token0=token0,
+        past_hidden=last_h,
+        seen=seen,
+        done=done,
+        key=key,
+        step=state.step + 1,
+        num_pads=state.num_pads,
+    )
+    return new_state, frame, frame_hidden

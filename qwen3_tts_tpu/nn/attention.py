@@ -1,0 +1,59 @@
+"""Masked GQA attention, XLA-native reference path.
+
+These are the fallback/compile-anywhere implementations; the Pallas flash
+kernels in `qwen3_tts_tpu.ops` replace them on real TPUs for long prefill.
+Shapes follow the TPU-friendly (B, T, H, D) layout (head axis minor to time)
+to keep the reshape-free path into the MXU.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = jnp.float32(-2.0**30)
+
+
+def causal_mask(q_len: int, kv_len: int, offset: int = 0,
+                sliding_window: int | None = None) -> jax.Array:
+    """Boolean (q_len, kv_len) mask. Query position i attends key j iff
+    j <= i + offset and (no window or j > i + offset - window)."""
+    q_pos = jnp.arange(q_len)[:, None] + offset
+    k_pos = jnp.arange(kv_len)[None, :]
+    mask = k_pos <= q_pos
+    if sliding_window is not None:
+        mask = mask & (k_pos > q_pos - sliding_window)
+    return mask
+
+
+def make_prefill_mask(attention_mask: jax.Array, q_len: int,
+                      sliding_window: int | None = None) -> jax.Array:
+    """(B, 1, T, T) boolean mask from a (B, T) padding mask plus causality."""
+    cm = causal_mask(q_len, q_len, 0, sliding_window)  # (T, T)
+    pad = attention_mask.astype(bool)[:, None, None, :]  # (B,1,1,T)
+    return cm[None, None] & pad
+
+
+def gqa_attention(q: jax.Array, k: jax.Array, v: jax.Array,
+                  mask: jax.Array | None, scaling: float) -> jax.Array:
+    """Grouped-query attention.
+
+    q: (B, T, H, D); k/v: (B, S, H_kv, D); mask: broadcastable to (B, H_kv, G, T, S)
+    or (B, 1, T, S). Returns (B, T, H, D). Softmax in float32
+    (reference eager_attention_forward, modeling_qwen3_tts.py:634-657).
+    """
+    b, t, h, d = q.shape
+    h_kv = k.shape[2]
+    g = h // h_kv
+    q = q.reshape(b, t, h_kv, g, d)
+
+    # scores: (B, H_kv, G, T, S)
+    scores = jnp.einsum("bthgd,bshd->bhgts", q, k, preferred_element_type=jnp.float32)
+    scores = scores * scaling
+    if mask is not None:
+        if mask.ndim == 4:  # (B, 1, T, S) -> (B, 1, 1, T, S)
+            mask = mask[:, :, None]
+        scores = jnp.where(mask, scores, NEG_INF)
+    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(v.dtype)
+    out = jnp.einsum("bhgts,bshd->bthgd", probs, v)
+    return out.reshape(b, t, h, d)

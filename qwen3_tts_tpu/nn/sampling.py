@@ -1,0 +1,105 @@
+"""Sampling pipeline with HF-generate parity ordering.
+
+The processor order matches what transformers' GenerationMixin builds for the
+reference call (reference modeling_qwen3_tts.py:2044-2066):
+  min-new-tokens EOS keep-out -> repetition penalty -> suppress-tokens
+  -> temperature -> top-k -> top-p -> categorical sample.
+Everything is static-shape; the "seen token" set for repetition penalty is a
+(B, V) boolean table updated functionally each step.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = jnp.float32(-1e9)
+
+
+@dataclass(frozen=True)
+class SamplingConfig:
+    do_sample: bool = True
+    top_k: int = 50
+    top_p: float = 1.0
+    temperature: float = 0.9
+    repetition_penalty: float = 1.05
+
+
+def apply_repetition_penalty(logits: jax.Array, seen: jax.Array, penalty: float) -> jax.Array:
+    """HF RepetitionPenaltyLogitsProcessor semantics: for seen tokens,
+    positive logits are divided by `penalty`, negative multiplied."""
+    if penalty == 1.0:
+        return logits
+    penalized = jnp.where(logits > 0, logits / penalty, logits * penalty)
+    return jnp.where(seen, penalized, logits)
+
+
+def apply_top_k(logits: jax.Array, k: int) -> jax.Array:
+    if k <= 0 or k >= logits.shape[-1]:
+        return logits
+    kth = jax.lax.top_k(logits, k)[0][..., -1:]
+    return jnp.where(logits < kth, NEG_INF, logits)
+
+
+def apply_top_p(logits: jax.Array, p: float) -> jax.Array:
+    """Nucleus filtering (HF TopPLogitsWarper: keeps the smallest prefix of the
+    descending-sorted distribution with cumulative prob > 1 - remainder rule;
+    min_tokens_to_keep=1)."""
+    if p >= 1.0:
+        return logits
+    sorted_logits = jnp.sort(logits, axis=-1)  # ascending
+    cum = jnp.cumsum(jax.nn.softmax(sorted_logits, axis=-1), axis=-1)
+    # HF removes tokens with cumulative prob (from the low end) <= 1 - p,
+    # always keeping the final (highest) token.
+    sorted_keep = cum > (1.0 - p)
+    sorted_keep = sorted_keep.at[..., -1].set(True)
+    # threshold = smallest kept logit
+    thresh = jnp.min(jnp.where(sorted_keep, sorted_logits, jnp.inf), axis=-1, keepdims=True)
+    return jnp.where(logits < thresh, NEG_INF, logits)
+
+
+def process_logits(
+    logits: jax.Array,
+    cfg: SamplingConfig,
+    seen: jax.Array | None = None,
+    suppress_mask: jax.Array | None = None,
+    eos_id: int | None = None,
+    block_eos: jax.Array | None = None,
+) -> jax.Array:
+    """Full processor chain; logits (B, V) float32."""
+    logits = logits.astype(jnp.float32)
+    if eos_id is not None and block_eos is not None:
+        # min_new_tokens: forbid EOS while block_eos is true (per batch row)
+        eos_col = jnp.zeros(logits.shape, bool).at[:, eos_id].set(True)
+        logits = jnp.where(eos_col & block_eos[:, None], NEG_INF, logits)
+    if seen is not None:
+        logits = apply_repetition_penalty(logits, seen, cfg.repetition_penalty)
+    if suppress_mask is not None:
+        logits = jnp.where(suppress_mask, NEG_INF, logits)
+    if cfg.do_sample:
+        if cfg.temperature not in (0.0, 1.0):
+            logits = logits / cfg.temperature
+        logits = apply_top_k(logits, cfg.top_k)
+        logits = apply_top_p(logits, cfg.top_p)
+    return logits
+
+
+def sample_token(key: jax.Array, logits: jax.Array, do_sample: bool) -> jax.Array:
+    """Categorical sample (or argmax). logits (B, V) -> (B,) int32."""
+    if do_sample:
+        return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
+    return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+
+def make_suppress_mask(vocab_size: int, band: int, keep_ids: tuple) -> jax.Array:
+    """Static suppress mask for the last `band` vocab ids except `keep_ids`
+    (reference modeling_qwen3_tts.py:2059-2063)."""
+    import numpy as np
+
+    mask = np.zeros((vocab_size,), dtype=bool)
+    mask[vocab_size - band:] = True
+    for kid in keep_ids:
+        mask[kid] = False
+    return jnp.asarray(mask)

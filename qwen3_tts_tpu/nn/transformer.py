@@ -1,0 +1,198 @@
+"""Generic pre-norm GQA decoder stack, weight-stacked and scan-compiled.
+
+One implementation serves the talker (20-28L, q/k-norm, mRoPE-as-1D), the
+code predictor (5L, q/k-norm) and the codec-decoder transformer (8L,
+sliding-window 72, LayerScale). Reference layer semantics:
+modeling_qwen3_tts.py:961-1012 / 1348-1424 and
+modeling_qwen3_tts_tokenizer_v2.py:408-471.
+
+Layer weights are stacked along a leading L axis and the stack runs under
+`jax.lax.scan`, which keeps compile time O(1) in depth and lets the KV cache
+ride the scan as a carried/mapped operand.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+from .attention import gqa_attention
+from .cache import KVCache
+from .layers import layer_norm, linear, rms_norm, swiglu_mlp
+from .rope import apply_rope
+
+
+@dataclass(frozen=True)
+class DecoderSpec:
+    hidden_size: int
+    intermediate_size: int
+    num_layers: int
+    num_heads: int
+    num_kv_heads: int
+    head_dim: int
+    rms_norm_eps: float = 1e-6
+    rope_theta: float = 10000.0
+    sliding_window: int | None = None
+    qk_norm: bool = True
+    layer_scale: bool = False
+    attention_bias: bool = False
+    norm_type: str = "rms"      # "rms" | "layer" (Mimi uses LayerNorm)
+    mlp_type: str = "swiglu"    # "swiglu" | "gelu" (Mimi uses fc1/gelu/fc2)
+    final_norm: bool = True     # Mimi transformer has no final norm
+
+    @property
+    def scaling(self) -> float:
+        return self.head_dim ** -0.5
+
+
+def init_stack_params(key: jax.Array, spec: DecoderSpec, dtype=jnp.float32) -> dict:
+    """Random-init stacked layer params (testing / from-scratch training)."""
+    L, H, D = spec.num_layers, spec.hidden_size, spec.head_dim
+    HD, KD, I = spec.num_heads * D, spec.num_kv_heads * D, spec.intermediate_size
+    ks = jax.random.split(key, 8)
+    s = 0.02
+
+    def rnd(k, shape):
+        return (jax.random.normal(k, shape) * s).astype(dtype)
+
+    p = {
+        "input_layernorm": jnp.ones((L, H), dtype),
+        "post_attention_layernorm": jnp.ones((L, H), dtype),
+        "q_proj": rnd(ks[0], (L, H, HD)),
+        "k_proj": rnd(ks[1], (L, H, KD)),
+        "v_proj": rnd(ks[2], (L, H, KD)),
+        "o_proj": rnd(ks[3], (L, HD, H)),
+    }
+    if spec.mlp_type == "swiglu":
+        p.update({
+            "gate_proj": rnd(ks[4], (L, H, I)),
+            "up_proj": rnd(ks[5], (L, H, I)),
+            "down_proj": rnd(ks[6], (L, I, H)),
+        })
+    else:
+        p.update({
+            "fc1": rnd(ks[4], (L, H, I)),
+            "fc2": rnd(ks[5], (L, I, H)),
+        })
+    if spec.norm_type == "layer":
+        p["input_layernorm_b"] = jnp.zeros((L, H), dtype)
+        p["post_attention_layernorm_b"] = jnp.zeros((L, H), dtype)
+    if spec.final_norm:
+        p["norm"] = jnp.ones((H,), dtype)
+    if spec.qk_norm:
+        p["q_norm"] = jnp.ones((L, D), dtype)
+        p["k_norm"] = jnp.ones((L, D), dtype)
+    if spec.layer_scale:
+        p["attn_scale"] = jnp.full((L, H), 0.01, dtype)
+        p["mlp_scale"] = jnp.full((L, H), 0.01, dtype)
+    if spec.attention_bias:
+        p["q_bias"] = jnp.zeros((L, HD), dtype)
+        p["k_bias"] = jnp.zeros((L, KD), dtype)
+        p["v_bias"] = jnp.zeros((L, KD), dtype)
+        p["o_bias"] = jnp.zeros((L, H), dtype)
+    return p
+
+
+def _layer(spec: DecoderSpec, lw: dict, x: jax.Array, cos: jax.Array, sin: jax.Array,
+           mask: jax.Array | None, k_full: jax.Array | None, v_full: jax.Array | None,
+           write_index: jax.Array | None):
+    """Single decoder layer. If k_full/v_full given (cache buffers (B,S,Hkv,D)),
+    new k/v are written at write_index and attention runs over the buffers;
+    otherwise attention is over the local sequence (prefill-without-cache).
+    Returns (y, k_out, v_out)."""
+    b, t, _ = x.shape
+
+    def norm(z, which):
+        if spec.norm_type == "layer":
+            return layer_norm(z, lw[which], lw[which + "_b"], spec.rms_norm_eps)
+        return rms_norm(z, lw[which], spec.rms_norm_eps)
+
+    h = norm(x, "input_layernorm")
+
+    q = linear(h, lw["q_proj"], lw.get("q_bias")).reshape(b, t, spec.num_heads, spec.head_dim)
+    k = linear(h, lw["k_proj"], lw.get("k_bias")).reshape(b, t, spec.num_kv_heads, spec.head_dim)
+    v = linear(h, lw["v_proj"], lw.get("v_bias")).reshape(b, t, spec.num_kv_heads, spec.head_dim)
+    if spec.qk_norm:
+        q = rms_norm(q, lw["q_norm"], spec.rms_norm_eps)
+        k = rms_norm(k, lw["k_norm"], spec.rms_norm_eps)
+    q, k = apply_rope(q, k, cos, sin)
+
+    if k_full is not None:
+        k_out = jax.lax.dynamic_update_slice(k_full, k.astype(k_full.dtype), (0, write_index, 0, 0))
+        v_out = jax.lax.dynamic_update_slice(v_full, v.astype(v_full.dtype), (0, write_index, 0, 0))
+        attn = gqa_attention(q, k_out, v_out, mask, spec.scaling)
+    else:
+        k_out, v_out = k, v
+        attn = gqa_attention(q, k, v, mask, spec.scaling)
+
+    attn = linear(attn.reshape(b, t, -1), lw["o_proj"], lw.get("o_bias"))
+    if spec.layer_scale:
+        attn = attn * lw["attn_scale"]
+    x = x + attn
+
+    h = norm(x, "post_attention_layernorm")
+    if spec.mlp_type == "swiglu":
+        mlp = swiglu_mlp(h, lw)
+    else:
+        mlp = linear(jax.nn.gelu(linear(h, lw["fc1"]), approximate=False), lw["fc2"])
+    if spec.layer_scale:
+        mlp = mlp * lw["mlp_scale"]
+    return x + mlp, k_out, v_out
+
+
+def _split_layer_weights(params: dict) -> dict:
+    return {k: v for k, v in params.items() if k != "norm"}
+
+
+def stack_forward(spec: DecoderSpec, params: dict, x: jax.Array, cos: jax.Array,
+                  sin: jax.Array, mask: jax.Array | None,
+                  cache: KVCache | None = None) -> tuple[jax.Array, KVCache | None]:
+    """Run the full stack. With a cache, k/v of this call are written at
+    cache.index and attention covers the cache buffers (prefill into cache or
+    single/multi-token decode). Without, plain full-sequence forward.
+
+    x: (B, T, H); cos/sin: (B, T, D); mask: (B,1,T,S) bool, S = cache len or T.
+    """
+    layer_ws = _split_layer_weights(params)
+
+    def maybe_final_norm(h):
+        if spec.final_norm:
+            return rms_norm(h, params["norm"], spec.rms_norm_eps)
+        return h
+
+    if cache is None:
+        def body(h, lw):
+            h, _, _ = _layer(spec, lw, h, cos, sin, mask, None, None, None)
+            return h, None
+
+        x, _ = jax.lax.scan(body, x, layer_ws)
+        return maybe_final_norm(x), None
+
+    idx = cache.index
+
+    def body(h, xs):
+        lw, ck, cv = xs
+        h, ck, cv = _layer(spec, lw, h, cos, sin, mask, ck, cv, idx)
+        return h, (ck, cv)
+
+    x, (k_new, v_new) = jax.lax.scan(body, x, (layer_ws, cache.k, cache.v))
+    new_cache = KVCache(k=k_new, v=v_new, index=idx + x.shape[1])
+    return maybe_final_norm(x), new_cache
+
+
+def cache_attention_mask(pad_mask: jax.Array, q_len: int, index: jax.Array,
+                         max_len: int, sliding_window: int | None = None) -> jax.Array:
+    """(B, 1, q_len, S_max) boolean mask for cached attention.
+
+    pad_mask: (B, S_max) validity of every cache slot (left-padding aware);
+    callers mark slots >= index+q_len as invalid implicitly since queries are
+    causal w.r.t. slot id: query slot (index+i) sees key slot j iff j <= index+i.
+    """
+    q_slots = index + jnp.arange(q_len)[:, None]  # (q_len, 1)
+    k_slots = jnp.arange(max_len)[None, :]        # (1, S_max)
+    m = k_slots <= q_slots
+    if sliding_window is not None:
+        m = m & (k_slots > q_slots - sliding_window)
+    return m[None, None] & pad_mask.astype(bool)[:, None, None, :]
