@@ -1,0 +1,118 @@
+"""Headline benchmark: 1.7B-class talker decode + 12Hz vocoder throughput on
+one TPU chip.
+
+Prints ONE JSON line:
+  {"metric": "audio_s_per_s_per_chip_1p7b", "value": <combined audio-seconds
+   synthesized per wall-second per chip>, "unit": "audio_s/s",
+   "vs_baseline": value / 10.0}
+
+vs_baseline is the ratio against the >10x-realtime north-star target
+(BASELINE.md: RTF > 10x => >125 frames/s/chip at 12.5 fps); the reference
+publishes no throughput numbers (BASELINE.json.published == {}).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import jax.numpy as jnp
+
+from qwen3_tts_tpu.config import CodecDecoderConfig
+from qwen3_tts_tpu.models.codec_decoder import codec_decode, init_codec_decoder_params
+from qwen3_tts_tpu.models.presets import talker_1p7b
+from qwen3_tts_tpu.models.talker import (TalkerState, talker_decode_step, talker_spec)
+from qwen3_tts_tpu.nn.cache import KVCache
+from qwen3_tts_tpu.nn.sampling import SamplingConfig, make_suppress_mask
+
+FRAME_RATE = 12.5  # codec frames per second (1920 samples @ 24 kHz)
+
+
+def _params_like(init_fn, *args, dtype):
+    shapes = jax.eval_shape(lambda: init_fn(jax.random.PRNGKey(0), *args, dtype))
+    return jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+
+
+def bench_talker(batch: int = 1, cache_len: int = 512, steps: int = 64):
+    cfg = talker_1p7b()
+    spec = talker_spec(cfg)
+    dtype = jnp.bfloat16
+    from qwen3_tts_tpu.models.talker import init_talker_params
+
+    params = _params_like(init_talker_params, cfg, dtype=dtype)
+    cache = KVCache.create(spec.num_layers, batch, cache_len, spec.num_kv_heads,
+                           spec.head_dim, dtype=dtype)
+    cache = cache._replace(index=jnp.asarray(64, jnp.int32))
+    state = TalkerState(
+        cache=cache,
+        token0=jnp.zeros((batch,), jnp.int32),
+        past_hidden=jnp.zeros((batch, cfg.hidden_size), dtype),
+        seen=jnp.zeros((batch, cfg.vocab_size), bool),
+        done=jnp.zeros((batch,), bool),
+        key=jax.random.PRNGKey(0),
+        step=jnp.zeros((), jnp.int32),
+        num_pads=jnp.zeros((batch,), jnp.int32),
+    )
+    trailing = jnp.zeros((batch, 32, cfg.hidden_size), dtype)
+    pad_embed = jnp.zeros((1, cfg.hidden_size), dtype)
+    pad_mask = jnp.ones((batch, cache_len), jnp.int32)
+    suppress = make_suppress_mask(cfg.vocab_size, 1024, (cfg.codec_eos_token_id,))
+    sampling = SamplingConfig()
+
+    @jax.jit
+    def run(params, state):
+        def body(_, s):
+            s, _, _ = talker_decode_step(params, cfg, s, trailing, pad_embed,
+                                         pad_mask, sampling, sampling, suppress)
+            return s
+        return jax.lax.fori_loop(0, steps, body, state)
+
+    out = run(params, state)  # compile + warmup
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    out = run(params, state)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    frames_per_s = steps * batch / dt
+    return frames_per_s, dt / steps
+
+
+def bench_vocoder(frames: int = 300, batch: int = 1):
+    cfg = CodecDecoderConfig()
+    params = _params_like(init_codec_decoder_params, cfg, dtype=jnp.bfloat16)
+    codes = jnp.zeros((batch, cfg.num_quantizers, frames), jnp.int32)
+    fn = jax.jit(lambda p, c: codec_decode(p, cfg, c))
+    jax.block_until_ready(fn(params, codes))
+    t0 = time.perf_counter()
+    jax.block_until_ready(fn(params, codes))
+    dt = time.perf_counter() - t0
+    audio_s = frames * batch / FRAME_RATE
+    return audio_s / dt
+
+
+def main():
+    lm_fps, step_ms = bench_talker()
+    lm_audio = lm_fps / FRAME_RATE
+    voc_audio = bench_vocoder()
+    combined = 1.0 / (1.0 / lm_audio + 1.0 / voc_audio)
+    result = {
+        "metric": "audio_s_per_s_per_chip_1p7b",
+        "value": round(combined, 3),
+        "unit": "audio_s/s",
+        "vs_baseline": round(combined / 10.0, 3),
+        "detail": {
+            "talker_frames_per_s": round(lm_fps, 2),
+            "talker_step_ms": round(step_ms * 1e3, 3),
+            "talker_audio_s_per_s": round(lm_audio, 3),
+            "vocoder_audio_s_per_s": round(voc_audio, 3),
+            "device": str(jax.devices()[0]),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

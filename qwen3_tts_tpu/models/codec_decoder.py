@@ -177,6 +177,10 @@ def init_codec_decoder_params(key: jax.Array, cfg: CodecDecoderConfig,
     def conv_p(k, i, o):
         return rnd((k, i, o)), jnp.zeros((o,), dtype)
 
+    def tconv_p(k, i, o):
+        # transposed-conv layout is (K, O, I) — see nn/conv.py
+        return rnd((k, o, i)), jnp.zeros((o,), dtype)
+
     cb_dim = cfg.codebook_dim // 2
     n_aco = cfg.num_quantizers - 1
     quant = {
@@ -206,7 +210,7 @@ def init_codec_decoder_params(key: jax.Array, cfg: CodecDecoderConfig,
 
     upsample = []
     for f in cfg.upsampling_ratios:
-        tw, tb = conv_p(f, cfg.latent_dim, cfg.latent_dim)
+        tw, tb = tconv_p(f, cfg.latent_dim, cfg.latent_dim)
         d = cfg.latent_dim
         upsample.append({
             "tconv_w": tw, "tconv_b": tb,
@@ -224,7 +228,7 @@ def init_codec_decoder_params(key: jax.Array, cfg: CodecDecoderConfig,
     for li, r in enumerate(cfg.upsample_rates):
         in_dim = cfg.decoder_dim // (2 ** li)
         out_dim = cfg.decoder_dim // (2 ** (li + 1))
-        tw, tb = conv_p(2 * r, in_dim, out_dim)
+        tw, tb = tconv_p(2 * r, in_dim, out_dim)
         units = []
         for dilation in (1, 3, 9):
             c1w, c1b = conv_p(7, out_dim, out_dim)
