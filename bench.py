@@ -94,20 +94,26 @@ def bench_vocoder(frames: int = 300, batch: int = 1):
 
 
 def main():
-    lm_fps, step_ms = bench_talker()
-    lm_audio = lm_fps / FRAME_RATE
-    voc_audio = bench_vocoder()
-    combined = 1.0 / (1.0 / lm_audio + 1.0 / voc_audio)
+    serve_batch = int(os.environ.get("BENCH_BATCH", "8"))
+    lm1_fps, lm1_ms = bench_talker(batch=1)
+    lmN_fps, lmN_ms = bench_talker(batch=serve_batch)
+    voc_audio_1 = bench_vocoder(batch=1)
+    voc_audio_n = bench_vocoder(batch=serve_batch)
+    single = 1.0 / (FRAME_RATE / lm1_fps + 1.0 / voc_audio_1)
+    combined = 1.0 / (FRAME_RATE / lmN_fps + 1.0 / voc_audio_n)
     result = {
         "metric": "audio_s_per_s_per_chip_1p7b",
         "value": round(combined, 3),
         "unit": "audio_s/s",
         "vs_baseline": round(combined / 10.0, 3),
         "detail": {
-            "talker_frames_per_s": round(lm_fps, 2),
-            "talker_step_ms": round(step_ms * 1e3, 3),
-            "talker_audio_s_per_s": round(lm_audio, 3),
-            "vocoder_audio_s_per_s": round(voc_audio, 3),
+            "serve_batch": serve_batch,
+            "talker_step_ms_b1": round(lm1_ms * 1e3, 3),
+            "talker_step_ms_bN": round(lmN_ms * 1e3, 3),
+            "talker_frames_per_s_bN": round(lmN_fps, 2),
+            "single_stream_audio_s_per_s": round(single, 3),
+            "vocoder_audio_s_per_s_b1": round(voc_audio_1, 3),
+            "vocoder_audio_s_per_s_bN": round(voc_audio_n, 3),
             "device": str(jax.devices()[0]),
         },
     }
