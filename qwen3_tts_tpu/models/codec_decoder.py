@@ -90,12 +90,12 @@ def rvq_decode(codes: jax.Array, p: dict, eps: float = 1e-5) -> jax.Array:
 
     sem = p["semantic"]
     emb = table(sem["embedding_sum"][0], sem["cluster_usage"][0])  # (V, D)
-    q_sem = jnp.take(emb, codes[:, 0], axis=0)  # (B, T, D)
+    q_sem = jnp.take(emb, codes[:, 0], axis=0, mode="clip")  # (B, T, D)
     q_sem = linear(q_sem, sem["output_proj"])   # 1x1 conv == matmul
 
     aco = p["acoustic"]
     tables = jax.vmap(table)(aco["embedding_sum"], aco["cluster_usage"])  # (Kq, V, D)
-    q_aco = jax.vmap(lambda t, c: jnp.take(t, c, axis=0),
+    q_aco = jax.vmap(lambda t, c: jnp.take(t, c, axis=0, mode="clip"),
                      in_axes=(0, 1), out_axes=0)(tables, codes[:, 1:])  # (Kq, B, T, D)
     q_aco = linear(jnp.sum(q_aco, axis=0), aco["output_proj"])
     return q_sem + q_aco

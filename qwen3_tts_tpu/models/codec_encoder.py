@@ -109,7 +109,7 @@ def rvq_encode(params: dict, embeddings: jax.Array, num_acoustic: int) -> jax.Ar
         emb_i = table(aco["embedding_sum"][i], aco["cluster_usage"][i])
         idx = nearest(residual, emb_i)
         codes.append(idx)
-        residual = residual - jnp.take(emb_i, idx, axis=0)
+        residual = residual - jnp.take(emb_i, idx, axis=0, mode="clip")
     return jnp.stack(codes, axis=1)  # (B, K, T)
 
 

@@ -1,0 +1,98 @@
+"""End-to-end API tests: from_pretrained on a reference-format checkpoint dir,
+then custom-voice / voice-design / voice-clone synthesis."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from _checkpoint import StubProcessor, build_checkpoint
+
+from qwen3_tts_tpu.inference.tts_model import Qwen3TTSModel
+from qwen3_tts_tpu.inference.tts_tokenizer import Qwen3TTSTokenizer
+
+
+@pytest.fixture(scope="module")
+def custom_voice_model(tmp_path_factory):
+    d = build_checkpoint(str(tmp_path_factory.mktemp("cv")), "custom_voice")
+    m = Qwen3TTSModel.from_pretrained(d, dtype=jnp.float32, load_processor=False)
+    m.processor = StubProcessor()
+    return m
+
+
+@pytest.fixture(scope="module")
+def base_model(tmp_path_factory):
+    d = build_checkpoint(str(tmp_path_factory.mktemp("base")), "base")
+    m = Qwen3TTSModel.from_pretrained(d, dtype=jnp.float32, load_processor=False)
+    m.processor = StubProcessor()
+    return m
+
+
+def test_custom_voice_generate(custom_voice_model):
+    m = custom_voice_model
+    wavs, sr = m.generate_custom_voice(
+        ["hello world", "longer second sentence"], speaker="vivian",
+        language="english", max_new_tokens=8, seed=0)
+    assert sr == 24000
+    assert len(wavs) == 2
+    for w in wavs:
+        assert w.ndim == 1 and w.dtype == np.float32
+        assert np.all(np.abs(w) <= 1.0)
+
+
+def test_custom_voice_generation_defaults_merged(custom_voice_model):
+    gk = custom_voice_model._merge_generate_kwargs()
+    assert gk["top_k"] == 10          # from generation_config.json
+    assert gk["max_new_tokens"] == 16  # from generation_config.json
+    assert gk["temperature"] == 0.9    # hard default
+
+
+def test_unsupported_speaker_raises(custom_voice_model):
+    with pytest.raises(ValueError, match="Unsupported speaker"):
+        custom_voice_model.generate_custom_voice("hi", speaker="nobody",
+                                                 language="english")
+
+
+def test_voice_design_requires_type(custom_voice_model):
+    with pytest.raises(ValueError, match="does not support"):
+        custom_voice_model.generate_voice_design("hi", instruct="calm voice")
+
+
+def test_tokenizer_roundtrip_api(base_model):
+    st = base_model.speech_tokenizer
+    rng = np.random.RandomState(0)
+    wav = (rng.randn(24000) * 0.1).astype(np.float32)
+    enc = st.encode([(wav, 24000)])
+    assert len(enc.audio_codes) == 1
+    codes = enc.audio_codes[0]
+    assert codes.shape[1] == 4  # encoder_valid_num_quantizers
+    assert codes.shape[0] == -(-24000 // 1920)
+    dec = st.decode(enc)
+    assert len(dec.audio_values) == 1
+    assert dec.audio_values[0].ndim == 1
+
+
+def test_voice_clone_xvector(base_model):
+    rng = np.random.RandomState(1)
+    ref = (np.sin(np.linspace(0, 700, 24000)) * 0.3).astype(np.float32)
+    wavs, sr = base_model.generate_voice_clone(
+        "copy this voice", language="english",
+        ref_audio=(ref, 24000), x_vector_only_mode=True,
+        max_new_tokens=8, seed=1)
+    assert len(wavs) == 1 and sr == 24000
+
+
+def test_voice_clone_icl(base_model):
+    ref = (np.sin(np.linspace(0, 700, 24000)) * 0.3).astype(np.float32)
+    items = base_model.create_voice_clone_prompt((ref, 24000), ref_text="reference words")
+    assert items[0].icl_mode and items[0].ref_code is not None
+    wavs, sr = base_model.generate_voice_clone(
+        "cloned speech", language="english", voice_clone_prompt=items,
+        max_new_tokens=8, seed=2)
+    assert len(wavs) == 1 and sr == 24000
+    # the ref portion must have been cut from the front
+    assert wavs[0].ndim == 1
+
+
+if __name__ == "__main__":
+    import sys
+    sys.exit(pytest.main([__file__, "-q", "-x"]))
