@@ -21,6 +21,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import jax
 import jax.numpy as jnp
 
+# persistent compile cache: repeat bench runs skip XLA compilation
+_CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+os.makedirs(_CACHE_DIR, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 from qwen3_tts_tpu.config import CodecDecoderConfig
 from qwen3_tts_tpu.models.codec_decoder import codec_decode, init_codec_decoder_params
 from qwen3_tts_tpu.models.presets import talker_1p7b
@@ -93,12 +99,56 @@ def bench_vocoder(frames: int = 300, batch: int = 1):
     return audio_s / dt
 
 
+def bench_first_packet(fp_frames: int = 4, prompt_len: int = 32, reps: int = 5):
+    """p50 first-packet latency: prefill + fp_frames decode steps + vocode."""
+    from qwen3_tts_tpu.models.talker import init_talker_params, talker_prefill
+
+    cfg = talker_1p7b()
+    spec = talker_spec(cfg)
+    dtype = jnp.bfloat16
+    params = _params_like(init_talker_params, cfg, dtype=dtype)
+    dcfg = CodecDecoderConfig()
+    dparams = _params_like(init_codec_decoder_params, dcfg, dtype=dtype)
+
+    b = 1
+    cache_len = prompt_len + 64
+    suppress = make_suppress_mask(cfg.vocab_size, 1024, (cfg.codec_eos_token_id,))
+    samp = SamplingConfig()
+    embeds = jnp.zeros((b, prompt_len, cfg.hidden_size), dtype)
+    mask = jnp.ones((b, prompt_len), jnp.int32)
+    trailing = jnp.zeros((b, 16, cfg.hidden_size), dtype)
+    pad_embed = jnp.zeros((1, cfg.hidden_size), dtype)
+    pad_full = jnp.ones((b, cache_len), jnp.int32)
+
+    prefill = jax.jit(lambda p, e, m, c, k: talker_prefill(
+        p, cfg, e, m, c, k, samp, suppress))
+    step = jax.jit(lambda p, s: talker_decode_step(
+        p, cfg, s, trailing, pad_embed, pad_full, samp, samp, suppress))
+    voc = jax.jit(lambda p, c: codec_decode(p, dcfg, c))
+    codes = jnp.zeros((1, dcfg.num_quantizers, fp_frames), jnp.int32)
+
+    def once():
+        cache = KVCache.create(spec.num_layers, b, cache_len, spec.num_kv_heads,
+                               spec.head_dim, dtype=dtype)
+        t0 = time.perf_counter()
+        st = prefill(params, embeds, mask, cache, jax.random.PRNGKey(0))
+        for _ in range(fp_frames):
+            st, _, _ = step(params, st)
+        jax.block_until_ready(voc(dparams, codes))
+        return time.perf_counter() - t0
+
+    once()
+    times = sorted(once() for _ in range(reps))
+    return times[reps // 2]
+
+
 def main():
     serve_batch = int(os.environ.get("BENCH_BATCH", "8"))
     lm1_fps, lm1_ms = bench_talker(batch=1)
     lmN_fps, lmN_ms = bench_talker(batch=serve_batch)
     voc_audio_1 = bench_vocoder(batch=1)
     voc_audio_n = bench_vocoder(batch=serve_batch)
+    fp_p50 = bench_first_packet()
     single = 1.0 / (FRAME_RATE / lm1_fps + 1.0 / voc_audio_1)
     combined = 1.0 / (FRAME_RATE / lmN_fps + 1.0 / voc_audio_n)
     result = {
@@ -114,6 +164,7 @@ def main():
             "single_stream_audio_s_per_s": round(single, 3),
             "vocoder_audio_s_per_s_b1": round(voc_audio_1, 3),
             "vocoder_audio_s_per_s_bN": round(voc_audio_n, 3),
+            "first_packet_p50_ms": round(fp_p50 * 1e3, 1),
             "device": str(jax.devices()[0]),
         },
     }

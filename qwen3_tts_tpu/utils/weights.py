@@ -318,3 +318,66 @@ def to_device_dtype(pytree, dtype=jnp.bfloat16, keep_f32: tuple = ()):
     from jax.tree_util import tree_map_with_path
 
     return tree_map_with_path(lambda p, x: conv(p, x), pytree)
+
+
+# ---------------------------------------------------------------------------
+# inverse conversion: pytree -> HF state dict (checkpoint interchange)
+# ---------------------------------------------------------------------------
+
+
+def talker_to_state_dict(params, cfg: TalkerConfig, prefix: str = "talker.") -> dict:
+    """Inverse of convert_talker: stacked pytree -> flat HF-named numpy dict,
+    so finetuned models save back into reference-format checkpoints."""
+    out = {}
+
+    def un_t(w):
+        return np.ascontiguousarray(np.transpose(np.asarray(w)))
+
+    def unstack_layers(layers: dict, base: str):
+        n = layers["q_proj"].shape[0]
+        for i in range(n):
+            li = f"{base}{i}."
+            out[li + "self_attn.q_proj.weight"] = un_t(layers["q_proj"][i])
+            out[li + "self_attn.k_proj.weight"] = un_t(layers["k_proj"][i])
+            out[li + "self_attn.v_proj.weight"] = un_t(layers["v_proj"][i])
+            out[li + "self_attn.o_proj.weight"] = un_t(layers["o_proj"][i])
+            out[li + "self_attn.q_norm.weight"] = np.asarray(layers["q_norm"][i])
+            out[li + "self_attn.k_norm.weight"] = np.asarray(layers["k_norm"][i])
+            out[li + "mlp.gate_proj.weight"] = un_t(layers["gate_proj"][i])
+            out[li + "mlp.up_proj.weight"] = un_t(layers["up_proj"][i])
+            out[li + "mlp.down_proj.weight"] = un_t(layers["down_proj"][i])
+            out[li + "input_layernorm.weight"] = np.asarray(layers["input_layernorm"][i])
+            out[li + "post_attention_layernorm.weight"] = np.asarray(
+                layers["post_attention_layernorm"][i])
+
+    unstack_layers(params["layers"], prefix + "model.layers.")
+    out[prefix + "model.norm.weight"] = np.asarray(params["layers"]["norm"])
+    out[prefix + "model.text_embedding.weight"] = np.asarray(params["text_embedding"])
+    out[prefix + "model.codec_embedding.weight"] = np.asarray(params["codec_embedding"])
+    tp = params["text_projection"]
+    out[prefix + "text_projection.linear_fc1.weight"] = un_t(tp["fc1"])
+    out[prefix + "text_projection.linear_fc1.bias"] = np.asarray(tp["fc1_b"])
+    out[prefix + "text_projection.linear_fc2.weight"] = un_t(tp["fc2"])
+    out[prefix + "text_projection.linear_fc2.bias"] = np.asarray(tp["fc2_b"])
+    out[prefix + "codec_head.weight"] = un_t(params["codec_head"])
+
+    cpp = params["code_predictor"]
+    unstack_layers(cpp["layers"], prefix + "code_predictor.model.layers.")
+    out[prefix + "code_predictor.model.norm.weight"] = np.asarray(cpp["layers"]["norm"])
+    n_extra = cpp["codec_embeddings"].shape[0]
+    for i in range(n_extra):
+        out[prefix + f"code_predictor.model.codec_embedding.{i}.weight"] = (
+            np.asarray(cpp["codec_embeddings"][i]))
+        out[prefix + f"code_predictor.lm_head.{i}.weight"] = un_t(cpp["lm_heads"][i])
+    if cfg.code_predictor.hidden_size != cfg.hidden_size:
+        out[prefix + "code_predictor.small_to_mtp_projection.weight"] = un_t(
+            cpp["small_to_mtp"])
+        out[prefix + "code_predictor.small_to_mtp_projection.bias"] = np.asarray(
+            cpp["small_to_mtp_b"])
+    return out
+
+
+def save_safetensors(state_dict: dict, path: str) -> None:
+    from safetensors.numpy import save_file
+
+    save_file({k: np.ascontiguousarray(v) for k, v in state_dict.items()}, path)

@@ -96,3 +96,46 @@ def test_voice_clone_icl(base_model):
 if __name__ == "__main__":
     import sys
     sys.exit(pytest.main([__file__, "-q", "-x"]))
+
+
+def test_streaming_session(custom_voice_model):
+    from qwen3_tts_tpu.inference.streaming import stream_custom_voice
+
+    m = custom_voice_model
+    sess = stream_custom_voice(m, "stream me please", speaker="vivian",
+                               language="english", max_new_tokens=12,
+                               emit_chunk_frames=2, burst_frames=2, seed=3)
+    chunks = list(sess)
+    assert len(chunks) >= 1
+    total = np.concatenate(chunks)
+    assert total.ndim == 1 and total.dtype == np.float32
+    md = sess.metrics
+    assert md.first_packet_s is not None and md.first_packet_s > 0
+    assert md.frames >= 2 and md.packets == len(chunks)
+
+
+def test_streaming_matches_offline_chunking(custom_voice_model):
+    """Concatenated streaming audio == offline chunked decode of the same
+    frames (identical chunk/context arithmetic)."""
+    from qwen3_tts_tpu.inference.streaming import StreamingSession
+
+    m = custom_voice_model
+    st = m.speech_tokenizer
+    rng = np.random.RandomState(7)
+    frames = rng.randint(1, 32, size=(11, 4))
+
+    sess = StreamingSession.__new__(StreamingSession)
+    sess.model = m
+    sess.left_context = 3
+    out = []
+    step = 2
+    for start in range(0, len(frames), step):
+        end = min(start + step, len(frames))
+        out.append(sess._vocode_range(frames, start, end))
+    got = np.concatenate(out)
+
+    from qwen3_tts_tpu.models.codec_decoder import chunked_decode
+    want = np.asarray(chunked_decode(st.decoder_params, st.config.decoder,
+                                     jnp.asarray(frames.T[None].astype(np.int32)),
+                                     chunk_size=step, left_context_size=3))[0]
+    np.testing.assert_allclose(got, want, atol=1e-5)
