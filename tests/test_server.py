@@ -1,0 +1,77 @@
+"""HTTP serving surface test against the tiny checkpoint."""
+
+import base64
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from _checkpoint import StubProcessor, build_checkpoint
+
+
+@pytest.fixture(scope="module")
+def server(tmp_path_factory):
+    from qwen3_tts_tpu.inference.tts_model import Qwen3TTSModel
+    from qwen3_tts_tpu.serving.server import serve
+
+    d = build_checkpoint(str(tmp_path_factory.mktemp("srv")), "custom_voice")
+    m = Qwen3TTSModel.from_pretrained(d, dtype=jnp.float32, load_processor=False)
+    m.processor = StubProcessor()
+    httpd, app = serve(m, host="127.0.0.1", port=18753, block=False)
+    th = threading.Thread(target=httpd.serve_forever, daemon=True)
+    th.start()
+    yield "http://127.0.0.1:18753"
+    httpd.shutdown()
+
+
+def _post(url, payload):
+    req = urllib.request.Request(url, data=json.dumps(payload).encode(),
+                                 headers={"Content-Type": "application/json"})
+    try:
+        with urllib.request.urlopen(req) as r:
+            return json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return json.loads(e.read())
+
+
+def _get(url):
+    with urllib.request.urlopen(url) as r:
+        return json.loads(r.read())
+
+
+def test_health(server):
+    h = _get(server + "/health")
+    assert h["status"] == "ok" and h["model_type"] == "custom_voice"
+
+
+def test_synthesize_and_metrics(server):
+    out = _post(server + "/synthesize", {
+        "text": "hello from the api", "task": "custom_voice",
+        "speaker": "vivian", "language": "english",
+        "max_new_tokens": 6, "seed": 0})
+    assert out["sample_rate"] == 24000
+    wav_bytes = base64.b64decode(out["audio_b64"])
+    assert wav_bytes[:4] == b"RIFF"
+    assert out["metrics"]["audio_s"] > 0
+
+    m = _get(server + "/metrics")
+    assert m["requests"] >= 1 and m["errors"] == 0
+
+
+def test_batch_and_error(server):
+    out = _post(server + "/synthesize_batch", {"requests": [
+        {"text": "one", "speaker": "vivian", "max_new_tokens": 6},
+        {"text": "two", "speaker": "vivian", "max_new_tokens": 6},
+    ]})
+    assert len(out["results"]) == 2
+
+    bad = _post(server + "/synthesize", {"text": "x", "speaker": "nobody"})
+    assert "error" in bad
+
+
+if __name__ == "__main__":
+    import sys
+    sys.exit(pytest.main([__file__, "-q", "-x"]))
