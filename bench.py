@@ -42,13 +42,16 @@ def _params_like(init_fn, *args, dtype):
     return jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
 
 
-def bench_talker(batch: int = 1, cache_len: int = 512, steps: int = 64):
+def bench_talker(batch: int = 1, cache_len: int = 512, steps: int = 64,
+                 quantize: bool = False):
     cfg = talker_1p7b()
     spec = talker_spec(cfg)
     dtype = jnp.bfloat16
-    from qwen3_tts_tpu.models.talker import init_talker_params
+    from qwen3_tts_tpu.models.talker import init_talker_params, quantize_talker_params
 
     params = _params_like(init_talker_params, cfg, dtype=dtype)
+    if quantize:
+        params = jax.jit(quantize_talker_params)(params)
     cache = KVCache.create(spec.num_layers, batch, cache_len, spec.num_kv_heads,
                            spec.head_dim, dtype=dtype)
     cache = cache._replace(index=jnp.asarray(64, jnp.int32))
@@ -151,6 +154,7 @@ def main():
     serve_batch = int(os.environ.get("BENCH_BATCH", "8"))
     lm1_fps, lm1_ms = bench_talker(batch=1)
     lmN_fps, lmN_ms = bench_talker(batch=serve_batch)
+    lmQ_fps, lmQ_ms = bench_talker(batch=serve_batch, quantize=True)
     voc_audio_1 = bench_vocoder(batch=1)
     voc_audio_n = bench_vocoder(batch=serve_batch)
     fp_p50 = bench_first_packet()
@@ -170,6 +174,9 @@ def main():
             "vocoder_audio_s_per_s_b1": round(voc_audio_1, 3),
             "vocoder_audio_s_per_s_bN": round(voc_audio_n, 3),
             "first_packet_p50_ms": round(fp_p50 * 1e3, 1),
+            "talker_step_ms_bN_int8": round(lmQ_ms * 1e3, 3),
+            "int8_audio_s_per_s": round(
+                1.0 / (FRAME_RATE / lmQ_fps + 1.0 / voc_audio_n), 3),
             "device": str(jax.devices()[0]),
         },
     }

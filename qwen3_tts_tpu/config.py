@@ -306,3 +306,121 @@ def load_generation_defaults(model_dir: str) -> dict:
         with open(path, "r", encoding="utf-8") as f:
             return json.load(f)
     return {}
+
+
+# ---------------------------------------------------------------------------
+# 25Hz (v1, legacy) codec tokenizer configs
+# (reference configuration_qwen3_tts_tokenizer_v1.py)
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class DiTConfig:
+    """Flow-matching mel generator (22L DiT, AdaLN-Zero, block-sparse attn)."""
+
+    hidden_size: int = 1024
+    num_hidden_layers: int = 22
+    num_attention_heads: int = 16
+    ff_mult: int = 2
+    emb_dim: int = 512
+    head_dim: int = 64
+    rope_theta: float = 10000.0
+    block_size: int = 24
+    look_ahead_layers: tuple = (10,)
+    look_backward_layers: tuple = (0, 20)
+    repeats: int = 2
+    num_embeds: int = 8193
+    mel_dim: int = 80
+    # internal ECAPA speaker encoder for DiT conditioning
+    enc_emb_dim: int = 192
+    enc_dim: int = 128
+    enc_channels: tuple = (256, 256, 256, 256, 768)
+    enc_kernel_sizes: tuple = (5, 3, 3, 3, 1)
+    enc_dilations: tuple = (1, 2, 3, 4, 1)
+    enc_attention_channels: int = 64
+    enc_res2net_scale: int = 2
+    enc_se_channels: int = 64
+
+    @classmethod
+    def from_dict(cls, d: Mapping[str, Any]) -> "DiTConfig":
+        kw = _filter_kwargs(cls, d)
+        for k in ("look_ahead_layers", "look_backward_layers", "enc_channels",
+                  "enc_kernel_sizes", "enc_dilations"):
+            if k in kw:
+                kw[k] = tuple(kw[k])
+        return cls(**kw)
+
+
+@dataclass(frozen=True)
+class BigVGANConfig:
+    mel_dim: int = 80
+    upsample_initial_channel: int = 1536
+    resblock_kernel_sizes: tuple = (3, 7, 11)
+    resblock_dilation_sizes: tuple = ((1, 3, 5), (1, 3, 5), (1, 3, 5))
+    upsample_rates: tuple = (5, 3, 2, 2, 2, 2)
+    upsample_kernel_sizes: tuple = (11, 7, 4, 4, 4, 4)
+
+    @classmethod
+    def from_dict(cls, d: Mapping[str, Any]) -> "BigVGANConfig":
+        kw = _filter_kwargs(cls, d)
+        for k in ("resblock_kernel_sizes", "upsample_rates", "upsample_kernel_sizes"):
+            if k in kw:
+                kw[k] = tuple(kw[k])
+        if "resblock_dilation_sizes" in kw:
+            kw["resblock_dilation_sizes"] = tuple(tuple(x) for x in
+                                                  kw["resblock_dilation_sizes"])
+        return cls(**kw)
+
+
+@dataclass(frozen=True)
+class WhisperVQEncoderConfig:
+    """Whisper-VQ encoder with mid-stack GRVQ quantization."""
+
+    n_mels: int = 128
+    n_ctx: int = 1500
+    n_state: int = 1280
+    n_head: int = 20
+    n_layer: int = 32
+    n_window: int = 100
+    output_dim: int = 3584
+    audio_vq_type: str = "GRVQ"
+    audio_vq_layers: int = 6
+    audio_vq_codebook_size: int = 32768
+    audio_vq_codebook_dim: int = 1280
+    audio_vq_pe: bool = True
+    audio_vq_ds_rate: int = 2
+
+    @classmethod
+    def from_dict(cls, d: Mapping[str, Any]) -> "WhisperVQEncoderConfig":
+        return cls(**_filter_kwargs(cls, d))
+
+
+@dataclass(frozen=True)
+class CodecV1Config:
+    """Composite 25Hz codec (reference configuration ...v1.py:280-324)."""
+
+    encoder: WhisperVQEncoderConfig = field(default_factory=WhisperVQEncoderConfig)
+    dit: DiTConfig = field(default_factory=DiTConfig)
+    bigvgan: BigVGANConfig = field(default_factory=BigVGANConfig)
+    input_sample_rate: int = 24000
+    output_sample_rate: int = 24000
+    decode_upsample_rate: int = 1920
+    encode_downsample_rate: int = 1920
+    model_type: str = "qwen3_tts_tokenizer_25hz"
+
+    @classmethod
+    def from_dict(cls, d: Mapping[str, Any]) -> "CodecV1Config":
+        kw = _filter_kwargs(cls, d)
+        if d.get("encoder_config") is not None:
+            kw["encoder"] = WhisperVQEncoderConfig.from_dict(d["encoder_config"])
+        dec = d.get("decoder_config") or {}
+        if dec.get("dit_config") is not None:
+            kw["dit"] = DiTConfig.from_dict(dec["dit_config"])
+        if dec.get("bigvgan_config") is not None:
+            kw["bigvgan"] = BigVGANConfig.from_dict(dec["bigvgan_config"])
+        return cls(**kw)
+
+    @classmethod
+    def from_json(cls, path: str) -> "CodecV1Config":
+        with open(path, "r", encoding="utf-8") as f:
+            return cls.from_dict(json.load(f))

@@ -25,7 +25,37 @@ from ..nn.layers import embed, linear, resize_mlp
 from ..nn.rope import make_inv_freq, rope_cos_sin
 from ..nn.sampling import SamplingConfig, process_logits, sample_token
 from ..nn.transformer import (DecoderSpec, cache_attention_mask, init_stack_params,
-                              stack_forward)
+                              quantize_stack_params, stack_forward)
+
+
+def _head(params: dict, name: str, x: jax.Array, index=None) -> jax.Array:
+    """lm-head matmul supporting int8 weight-only quantization."""
+    if name + "_q" in params:
+        w = params[name + "_q"]
+        s = params[name + "_s"]
+        if index is not None:
+            w, s = w[index], s[index]
+        return linear(x, w.astype(x.dtype) * s)
+    w = params[name] if index is None else params[name][index]
+    return linear(x, w)
+
+
+def quantize_talker_params(params: dict) -> dict:
+    """Weight-only int8 for all bandwidth-heavy matmuls (layer stacks,
+    codec_head, sub-talker lm_heads). Embeddings/norms stay high precision."""
+    p = dict(params)
+    p["layers"] = quantize_stack_params(params["layers"])
+    cp = dict(params["code_predictor"])
+    cp["layers"] = quantize_stack_params(cp["layers"])
+    for src, holder in ((p, "codec_head"), (cp, "lm_heads")):
+        w = jnp.asarray(src[holder], jnp.float32)
+        scale = jnp.max(jnp.abs(w), axis=-2, keepdims=True) / 127.0
+        scale = jnp.maximum(scale, 1e-8)
+        src[holder + "_q"] = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
+        src[holder + "_s"] = scale.astype(jnp.bfloat16)
+        del src[holder]
+    p["code_predictor"] = cp
+    return p
 
 
 def talker_spec(cfg: TalkerConfig) -> DecoderSpec:
@@ -138,7 +168,7 @@ def code_predictor_generate(
     codes = []
     embed_sum = jnp.zeros_like(past_hidden)
     for step in range(n_steps):
-        logits = linear(last_h, p["lm_heads"][step])  # (B, V_cp)
+        logits = _head(p, "lm_heads", last_h, step)  # (B, V_cp)
         key, sub = jax.random.split(key)
         proc = process_logits(logits, sampling)
         tok = sample_token(sub, proc, sampling.do_sample)  # (B,)
@@ -203,7 +233,7 @@ def talker_prefill(
     h, cache = stack_forward(spec, params["layers"], inputs_embeds, cos, sin, mask, cache)
 
     last_h = h[:, -1]                      # (B, H) — right-aligned batch
-    logits = linear(last_h, params["codec_head"]).astype(jnp.float32)
+    logits = _head(params, "codec_head", last_h).astype(jnp.float32)
 
     seen = jnp.zeros((b, cfg.vocab_size), bool)
     key, sub = jax.random.split(key)
@@ -269,7 +299,7 @@ def talker_decode_step(
                                 state.cache.max_len, spec.sliding_window)
     h, cache = stack_forward(spec, params["layers"], x, cos, sin, mask, state.cache)
     last_h = h[:, -1]
-    logits = linear(last_h, params["codec_head"]).astype(jnp.float32)
+    logits = _head(params, "codec_head", last_h).astype(jnp.float32)
 
     key, sub = jax.random.split(key)
     block_eos = (state.step + 1) < 2  # min_new_tokens=2

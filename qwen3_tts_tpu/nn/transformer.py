@@ -95,6 +95,36 @@ def init_stack_params(key: jax.Array, spec: DecoderSpec, dtype=jnp.float32) -> d
     return p
 
 
+def _proj(lw: dict, name: str, x: jax.Array, bias_name: str | None = None) -> jax.Array:
+    """Projection through either a bf16 weight or an int8 weight-only
+    quantized pair (name_q int8 (in,out) + name_s per-out-channel scale).
+    XLA fuses the dequant into the matmul operand read, halving HBM traffic
+    for the bandwidth-bound decode step."""
+    b = lw.get(bias_name) if bias_name else None
+    if name + "_q" in lw:
+        w = lw[name + "_q"].astype(x.dtype) * lw[name + "_s"]
+        return linear(x, w, b)
+    return linear(x, lw[name], b)
+
+
+def quantize_stack_params(layers: dict, names=("q_proj", "k_proj", "v_proj",
+                                               "o_proj", "gate_proj", "up_proj",
+                                               "down_proj", "fc1", "fc2")) -> dict:
+    """Weight-only int8 per-output-channel quantization of a layer stack.
+    weights (L, in, out) -> int8 + (L, 1, out) scales."""
+    out = dict(layers)
+    for name in names:
+        if name not in layers:
+            continue
+        w = jnp.asarray(layers[name], jnp.float32)
+        scale = jnp.max(jnp.abs(w), axis=-2, keepdims=True) / 127.0
+        scale = jnp.maximum(scale, 1e-8)
+        out[name + "_q"] = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
+        out[name + "_s"] = scale.astype(jnp.bfloat16)
+        del out[name]
+    return out
+
+
 def _layer(spec: DecoderSpec, lw: dict, x: jax.Array, cos: jax.Array, sin: jax.Array,
            mask: jax.Array | None, k_full: jax.Array | None, v_full: jax.Array | None,
            write_index: jax.Array | None):
@@ -111,9 +141,9 @@ def _layer(spec: DecoderSpec, lw: dict, x: jax.Array, cos: jax.Array, sin: jax.A
 
     h = norm(x, "input_layernorm")
 
-    q = linear(h, lw["q_proj"], lw.get("q_bias")).reshape(b, t, spec.num_heads, spec.head_dim)
-    k = linear(h, lw["k_proj"], lw.get("k_bias")).reshape(b, t, spec.num_kv_heads, spec.head_dim)
-    v = linear(h, lw["v_proj"], lw.get("v_bias")).reshape(b, t, spec.num_kv_heads, spec.head_dim)
+    q = _proj(lw, "q_proj", h, "q_bias").reshape(b, t, spec.num_heads, spec.head_dim)
+    k = _proj(lw, "k_proj", h, "k_bias").reshape(b, t, spec.num_kv_heads, spec.head_dim)
+    v = _proj(lw, "v_proj", h, "v_bias").reshape(b, t, spec.num_kv_heads, spec.head_dim)
     if spec.qk_norm:
         q = rms_norm(q, lw["q_norm"], spec.rms_norm_eps)
         k = rms_norm(k, lw["k_norm"], spec.rms_norm_eps)
@@ -127,16 +157,18 @@ def _layer(spec: DecoderSpec, lw: dict, x: jax.Array, cos: jax.Array, sin: jax.A
         k_out, v_out = k, v
         attn = gqa_attention(q, k, v, mask, spec.scaling)
 
-    attn = linear(attn.reshape(b, t, -1), lw["o_proj"], lw.get("o_bias"))
+    attn = _proj(lw, "o_proj", attn.reshape(b, t, -1), "o_bias")
     if spec.layer_scale:
         attn = attn * lw["attn_scale"]
     x = x + attn
 
     h = norm(x, "post_attention_layernorm")
     if spec.mlp_type == "swiglu":
-        mlp = swiglu_mlp(h, lw)
+        g = jax.nn.silu(_proj(lw, "gate_proj", h))
+        u = _proj(lw, "up_proj", h)
+        mlp = _proj(lw, "down_proj", g * u)
     else:
-        mlp = linear(jax.nn.gelu(linear(h, lw["fc1"]), approximate=False), lw["fc2"])
+        mlp = _proj(lw, "fc2", jax.nn.gelu(_proj(lw, "fc1", h), approximate=False))
     if spec.layer_scale:
         mlp = mlp * lw["mlp_scale"]
     return x + mlp, k_out, v_out
