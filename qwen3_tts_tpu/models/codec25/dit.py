@@ -185,7 +185,7 @@ def dit_sample(params: dict, cfg: DiTConfig, code: jax.Array, ref_mel: jax.Array
 
 def init_dit_params(key: jax.Array, cfg: DiTConfig) -> dict:
     from ..speaker_encoder import convert_speaker_encoder  # noqa: F401
-    ks = iter(jax.random.split(key, 16))
+    ks = iter(jax.random.split(key, 512))
     s = 0.02
     rnd = lambda shape: jax.random.normal(next(ks), shape) * s
     h = cfg.hidden_size
