@@ -22,3 +22,14 @@ __all__ = [
     "MimiEncoderConfig", "SpeakerEncoderConfig", "TalkerConfig", "TTSConfig",
     "__version__",
 ]
+
+from .config import BigVGANConfig, CodecV1Config, DiTConfig, WhisperVQEncoderConfig  # noqa: E402
+
+__all__ += ["BigVGANConfig", "CodecV1Config", "DiTConfig", "WhisperVQEncoderConfig"]
+
+
+def load_model(model_dir, **kwargs):
+    """Convenience: Qwen3TTSModel.from_pretrained."""
+    from .inference.tts_model import Qwen3TTSModel
+
+    return Qwen3TTSModel.from_pretrained(model_dir, **kwargs)

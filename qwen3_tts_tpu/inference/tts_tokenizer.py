@@ -44,9 +44,18 @@ class Qwen3TTSTokenizer:
     # -- loading -------------------------------------------------------------
 
     @classmethod
-    def from_pretrained(cls, model_dir: str, dtype=jnp.float32) -> "Qwen3TTSTokenizer":
-        """Load from a local `speech_tokenizer/` checkpoint dir
-        (config.json + safetensors with encoder.* / decoder.* keys)."""
+    def from_pretrained(cls, model_dir: str, dtype=jnp.float32):
+        """Load from a local `speech_tokenizer/` checkpoint dir. Dispatches on
+        config model_type between the 12Hz (v2) and 25Hz (v1) tokenizers
+        (reference qwen3_tts_tokenizer.py:81-85 registers both)."""
+        import json
+
+        with open(os.path.join(model_dir, "config.json")) as f:
+            model_type = json.load(f).get("model_type", "qwen3_tts_tokenizer_12hz")
+        if "25hz" in model_type:
+            from ..models.codec25.tokenizer_v1 import Qwen3TTSTokenizerV1
+
+            return Qwen3TTSTokenizerV1.from_pretrained(model_dir, dtype=dtype)
         cfg = CodecConfig.from_json(os.path.join(model_dir, "config.json"))
         sd = load_safetensors_dir(model_dir)
         enc = convert_codec_encoder(sd, cfg.encoder, prefix="encoder.")
