@@ -20,8 +20,15 @@ import numpy as np
 AudioLike = Union[str, Tuple[np.ndarray, int]]
 
 
+def _native():
+    from .native import get_runtime
+
+    return get_runtime()
+
+
 def read_wav(path_or_bytes) -> tuple[np.ndarray, int]:
-    """Read a RIFF WAV (PCM 8/16/24/32 or float32) -> (float32 mono-ish, sr)."""
+    """Read a RIFF WAV (PCM 8/16/24/32 or float32) -> (float32 mono-ish, sr).
+    Uses the native C++ decoder when built, numpy otherwise."""
     if isinstance(path_or_bytes, (bytes, bytearray)):
         fobj = io.BytesIO(bytes(path_or_bytes))
     else:
@@ -34,6 +41,12 @@ def read_wav(path_or_bytes) -> tuple[np.ndarray, int]:
 def _decode_riff(data: bytes) -> tuple[np.ndarray, int]:
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE file")
+    rt = _native()
+    if rt is not None:
+        try:
+            return rt.wav_decode(data)
+        except ValueError:
+            pass
     # try the simple path first (PCM via wave module)
     try:
         with wave.open(io.BytesIO(data)) as w:
@@ -100,10 +113,16 @@ def write_wav(path: str, wav: np.ndarray, sr: int) -> None:
         w.writeframes(pcm.tobytes())
 
 
-def resample(x: np.ndarray, orig_sr: int, target_sr: int) -> np.ndarray:
-    """Polyphase resampling (scipy) — replaces librosa.resample host-side."""
+def resample(x: np.ndarray, orig_sr: int, target_sr: int,
+             use_native: bool = False) -> np.ndarray:
+    """Polyphase resampling (scipy; or the C++ runtime with use_native) —
+    replaces librosa.resample host-side."""
     if orig_sr == target_sr:
         return np.asarray(x, np.float32)
+    if use_native:
+        rt = _native()
+        if rt is not None:
+            return rt.resample(np.asarray(x, np.float32), int(orig_sr), int(target_sr))
     from scipy.signal import resample_poly
 
     g = math.gcd(int(orig_sr), int(target_sr))
