@@ -64,6 +64,31 @@ def _burst_fn(cfg: TalkerConfig, n_frames: int, sampling: SamplingConfig,
     return burst
 
 
+@functools.lru_cache(maxsize=16)
+def _prefill_and_burst_fn(cfg: TalkerConfig, n_frames: int,
+                          sampling: SamplingConfig, sub_sampling: SamplingConfig):
+    """Prefill + first n frames fused into ONE program — a single dispatch
+    to first audio (cuts per-call runtime latency off the first packet)."""
+
+    @jax.jit
+    def run(params, embeds, mask, cache, key, trailing, pad_embed, pad_mask,
+            suppress):
+        state = talker_prefill(params, cfg, embeds, mask, cache, key,
+                               sampling, suppress)
+
+        def body(carry, _):
+            st = carry
+            st, frame, _ = talker_decode_step(
+                params, cfg, st, trailing, pad_embed, pad_mask,
+                sampling, sub_sampling, suppress)
+            return st, frame
+
+        state, frames = jax.lax.scan(body, state, None, length=n_frames)
+        return state, jnp.transpose(frames, (1, 0, 2))
+
+    return run
+
+
 class StreamingSession:
     """Single-utterance streaming synthesis session."""
 
@@ -102,23 +127,31 @@ class StreamingSession:
         suppress = make_suppress_mask(cfg.vocab_size, 1024, (cfg.codec_eos_token_id,))
         key = jax.random.PRNGKey(self.seed if self.seed is not None
                                  else np.random.randint(0, 2**31))
-        state = talker_prefill(model.talker_params, cfg, embeds, mask, cache,
-                               key, self.sampling, suppress)
-        jax.block_until_ready(state.token0)
-        self.metrics.prefill_s = time.perf_counter() - t0
-
         pad_mask_full = jnp.concatenate(
             [mask, jnp.ones((b, cache_len - t), mask.dtype)], axis=-1)
         trailing = self.prompt.trailing_text_hidden.astype(model.dtype)
         pad_embed = self.prompt.tts_pad_embed.astype(model.dtype)
         burst = _burst_fn(cfg, self.burst_frames, self.sampling, self.sub_sampling)
 
+        # prefill fused with the first burst: one dispatch to first frames
+        pf_burst = _prefill_and_burst_fn(cfg, self.burst_frames, self.sampling,
+                                         self.sub_sampling)
+        state, first_frames = pf_burst(model.talker_params, embeds, mask, cache,
+                                       key, trailing, pad_embed, pad_mask_full,
+                                       suppress)
+        self.metrics.prefill_s = time.perf_counter() - t0
+
         frames_buf: list[np.ndarray] = []
         emitted = 0
         done = False
+        pending = first_frames
         while not done and self.metrics.frames < self.max_frames:
-            state, frames = burst(model.talker_params, state, trailing,
-                                  pad_embed, pad_mask_full, suppress)
+            if pending is not None:
+                frames = pending
+                pending = None
+            else:
+                state, frames = burst(model.talker_params, state, trailing,
+                                      pad_embed, pad_mask_full, suppress)
             fr = np.asarray(frames[0])  # (burst, groups)
             eos = fr[:, 0] == cfg.codec_eos_token_id
             if eos.any():
