@@ -136,21 +136,28 @@ def bench_first_packet(fp_frames: int = 4, prompt_len: int = 32, reps: int = 5):
     pad_embed = jnp.zeros((1, cfg.hidden_size), dtype)
     pad_full = jnp.ones((b, cache_len), jnp.int32)
 
-    prefill = jax.jit(lambda p, e, m, c, k: talker_prefill(
-        p, cfg, e, m, c, k, samp, suppress))
-    step = jax.jit(lambda p, s: talker_decode_step(
-        p, cfg, s, trailing, pad_embed, pad_full, samp, samp, suppress))
-    voc = jax.jit(lambda p, c: codec_decode(p, dcfg, c))
-    codes = jnp.zeros((1, dcfg.num_quantizers, fp_frames), jnp.int32)
+    # one fused program: prefill + fp_frames decode steps + vocode the packet
+    # (mirrors the streaming session's fused first burst — one dispatch)
+    @jax.jit
+    def first_packet(p, dp, e, m, c, k):
+        st = talker_prefill(p, cfg, e, m, c, k, samp, suppress)
+
+        def body(carry, _):
+            s2, _, _ = talker_decode_step(p, cfg, carry, trailing, pad_embed,
+                                          pad_full, samp, samp, suppress)
+            return s2, s2.token0
+
+        st, toks = jax.lax.scan(body, st, None, length=fp_frames)
+        codes = jnp.zeros((1, dcfg.num_quantizers, fp_frames), jnp.int32)
+        codes = codes.at[:, 0, :].set(jnp.transpose(toks)[:1] % 2048)
+        return codec_decode(dp, dcfg, codes)
 
     def once(seed):
         cache = KVCache.create(spec.num_layers, b, cache_len, spec.num_kv_heads,
                                spec.head_dim, dtype=dtype)
         t0 = time.perf_counter()
-        st = prefill(params, embeds, mask, cache, jax.random.PRNGKey(seed))
-        for _ in range(fp_frames):
-            st, _, _ = step(params, st)
-        _ = float(voc(dparams, codes)[0, 0]) + int(st.token0[0])
+        _ = float(first_packet(params, dparams, embeds, mask, cache,
+                               jax.random.PRNGKey(seed))[0, 0])
         return time.perf_counter() - t0
 
     once(0)
