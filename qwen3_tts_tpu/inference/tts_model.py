@@ -84,10 +84,12 @@ class Qwen3TTSModel:
         talker_params = jax.tree.map(
             lambda x: jnp.asarray(x, dtype) if np.issubdtype(x.dtype, np.floating)
             else jnp.asarray(x), talker_params)
+        # fuse qkv + gate/up (semantics-preserving, fewer small matmuls)
+        from ..models.talker import fuse_talker_params, quantize_talker_params
+
+        talker_params = jax.jit(fuse_talker_params)(talker_params)
         if quantization == "int8":
             # weight-only int8: ~1.5x faster decode at b=1 on v5e
-            from ..models.talker import quantize_talker_params
-
             talker_params = jax.jit(quantize_talker_params)(talker_params)
         elif quantization is not None:
             raise ValueError(f"unknown quantization {quantization!r}")

@@ -24,8 +24,8 @@ from ..nn.cache import KVCache
 from ..nn.layers import embed, linear, resize_mlp
 from ..nn.rope import make_inv_freq, rope_cos_sin
 from ..nn.sampling import SamplingConfig, process_logits, sample_token
-from ..nn.transformer import (DecoderSpec, cache_attention_mask, init_stack_params,
-                              quantize_stack_params, stack_forward)
+from ..nn.transformer import (DecoderSpec, cache_attention_mask, fuse_stack_params,
+                              init_stack_params, quantize_stack_params, stack_forward)
 
 
 def _head(params: dict, name: str, x: jax.Array, index=None) -> jax.Array:
@@ -38,6 +38,16 @@ def _head(params: dict, name: str, x: jax.Array, index=None) -> jax.Array:
         return linear(x, w.astype(x.dtype) * s)
     w = params[name] if index is None else params[name][index]
     return linear(x, w)
+
+
+def fuse_talker_params(params: dict) -> dict:
+    """Fuse qkv and gate/up in both stacks (fewer small matmuls per decode)."""
+    p = dict(params)
+    p["layers"] = fuse_stack_params(params["layers"])
+    cp = dict(params["code_predictor"])
+    cp["layers"] = fuse_stack_params(cp["layers"])
+    p["code_predictor"] = cp
+    return p
 
 
 def quantize_talker_params(params: dict) -> dict:

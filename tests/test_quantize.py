@@ -51,3 +51,23 @@ def test_quantized_generation_runs_and_tracks_fp():
 if __name__ == "__main__":
     import sys
     sys.exit(pytest.main([__file__, "-q", "-x"]))
+
+
+def test_fused_params_identical_outputs():
+    from qwen3_tts_tpu.models.talker import fuse_talker_params
+
+    cfg = tiny_talker()
+    params = init_talker_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+    fused = fuse_talker_params(params)
+    b, t = 2, 10
+    embeds = jax.random.normal(jax.random.PRNGKey(1), (b, t, cfg.hidden_size)) * 0.3
+    mask = jnp.ones((b, t), jnp.int32)
+    trailing = jax.random.normal(jax.random.PRNGKey(2), (b, 6, cfg.hidden_size)) * 0.3
+    pad_embed = jnp.zeros((1, cfg.hidden_size))
+    greedy = SamplingConfig(do_sample=False)
+    r0 = trim_codes(generate_frames(params, cfg, embeds, mask, trailing, pad_embed,
+                                    jax.random.PRNGKey(0), 6, greedy, greedy))
+    r1 = trim_codes(generate_frames(fused, cfg, embeds, mask, trailing, pad_embed,
+                                    jax.random.PRNGKey(0), 6, greedy, greedy))
+    for a, b_ in zip(r0, r1):
+        np.testing.assert_array_equal(a, b_)
