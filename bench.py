@@ -47,9 +47,11 @@ def bench_talker(batch: int = 1, cache_len: int = 512, steps: int = 64,
     cfg = talker_1p7b()
     spec = talker_spec(cfg)
     dtype = jnp.bfloat16
-    from qwen3_tts_tpu.models.talker import init_talker_params, quantize_talker_params
+    from qwen3_tts_tpu.models.talker import (fuse_talker_params, init_talker_params,
+                                             quantize_talker_params)
 
     params = _params_like(init_talker_params, cfg, dtype=dtype)
+    params = jax.jit(fuse_talker_params)(params)
     if quantize:
         params = jax.jit(quantize_talker_params)(params)
     cache = KVCache.create(spec.num_layers, batch, cache_len, spec.num_kv_heads,
