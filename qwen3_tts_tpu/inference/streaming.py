@@ -193,6 +193,22 @@ class StreamingSession:
         return wav[0, ctx * up:].astype(np.float32)
 
 
+def _session_from_prompt(model, prompt, gk: dict, emit_chunk_frames: int,
+                         burst_frames: int, seed) -> "StreamingSession":
+    sampling = SamplingConfig(
+        do_sample=bool(gk["do_sample"]), top_k=int(gk["top_k"]),
+        top_p=float(gk["top_p"]), temperature=float(gk["temperature"]),
+        repetition_penalty=float(gk["repetition_penalty"]))
+    sub = SamplingConfig(
+        do_sample=bool(gk["subtalker_dosample"]), top_k=int(gk["subtalker_top_k"]),
+        top_p=float(gk["subtalker_top_p"]),
+        temperature=float(gk["subtalker_temperature"]), repetition_penalty=1.0)
+    return StreamingSession(model, prompt, sampling, sub,
+                            max_frames=int(gk["max_new_tokens"]) - 1,
+                            burst_frames=burst_frames,
+                            emit_chunk_frames=emit_chunk_frames, seed=seed)
+
+
 def stream_custom_voice(model, text: str, speaker: str, language: str = "auto",
                         instruct: Optional[str] = None,
                         emit_chunk_frames: int = 4, burst_frames: int = 4,
@@ -210,19 +226,51 @@ def stream_custom_voice(model, text: str, speaker: str, language: str = "auto",
         instruct_ids = [model._tokenize_texts([model._build_instruct_text(instruct)])[0]]
 
     gk = model._merge_generate_kwargs(**kwargs)
-    sampling = SamplingConfig(
-        do_sample=bool(gk["do_sample"]), top_k=int(gk["top_k"]),
-        top_p=float(gk["top_p"]), temperature=float(gk["temperature"]),
-        repetition_penalty=float(gk["repetition_penalty"]))
-    sub = SamplingConfig(
-        do_sample=bool(gk["subtalker_dosample"]), top_k=int(gk["subtalker_top_k"]),
-        top_p=float(gk["subtalker_top_p"]),
-        temperature=float(gk["subtalker_temperature"]), repetition_penalty=1.0)
-
     prompt = assemble_prompts(model.talker_params, model.config, input_ids,
                               [language], [speaker], instruct_ids,
                               non_streaming_mode=False)
-    return StreamingSession(model, prompt, sampling, sub,
-                            max_frames=int(gk["max_new_tokens"]) - 1,
-                            burst_frames=burst_frames,
-                            emit_chunk_frames=emit_chunk_frames, seed=seed)
+    return _session_from_prompt(model, prompt, gk, emit_chunk_frames,
+                                burst_frames, seed)
+
+
+def stream_voice_design(model, text: str, instruct: str, language: str = "auto",
+                        emit_chunk_frames: int = 4, burst_frames: int = 4,
+                        seed: Optional[int] = None, **kwargs) -> StreamingSession:
+    """Streaming voice-design synthesis (VoiceDesign checkpoints)."""
+    from ..models.generation import assemble_prompts
+
+    model._validate_languages([language])
+    input_ids = model._tokenize_texts([model._build_assistant_text(text)])
+    instruct_ids = [model._tokenize_texts([model._build_instruct_text(instruct)])[0]] \
+        if instruct else None
+    gk = model._merge_generate_kwargs(**kwargs)
+    prompt = assemble_prompts(model.talker_params, model.config, input_ids,
+                              [language], None, instruct_ids,
+                              non_streaming_mode=False)
+    return _session_from_prompt(model, prompt, gk, emit_chunk_frames,
+                                burst_frames, seed)
+
+
+def stream_voice_clone(model, text: str, voice_clone_prompt,
+                       language: str = "auto", emit_chunk_frames: int = 4,
+                       burst_frames: int = 4, seed: Optional[int] = None,
+                       **kwargs) -> StreamingSession:
+    """Streaming voice clone from prebuilt VoiceClonePromptItem(s) (Base
+    checkpoints). Note: emitted audio is the continuation only (no ref-code
+    prepend/cut — the reference applies those in the offline decode path)."""
+    from ..models.generation import assemble_prompts
+
+    model._validate_languages([language])
+    items = voice_clone_prompt if isinstance(voice_clone_prompt, list) \
+        else [voice_clone_prompt]
+    vcp = model._prompt_items_to_dict(items)
+    input_ids = model._tokenize_texts([model._build_assistant_text(text)])
+    ref_ids = None
+    if items[0].ref_text:
+        ref_ids = [model._tokenize_texts([model._build_ref_text(items[0].ref_text)])[0]]
+    gk = model._merge_generate_kwargs(**kwargs)
+    prompt = assemble_prompts(model.talker_params, model.config, input_ids,
+                              [language], None, None, ref_ids, vcp,
+                              non_streaming_mode=False)
+    return _session_from_prompt(model, prompt, gk, emit_chunk_frames,
+                                burst_frames, seed)

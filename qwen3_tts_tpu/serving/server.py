@@ -131,6 +131,37 @@ class TTSServer:
                         "rtf": round(audio_s / dt, 3) if dt else None},
         }
 
+    def synthesize_stream(self, req: Dict[str, Any]):
+        """Generator of (pcm16 bytes, sr) chunks — custom-voice / voice-design
+        streaming over chunked HTTP."""
+        from ..inference.streaming import stream_custom_voice, stream_voice_design
+
+        task = req.get("task", "custom_voice")
+        kwargs = {k: req[k] for k in ("do_sample", "top_k", "top_p", "temperature",
+                                      "repetition_penalty", "max_new_tokens",
+                                      "seed") if k in req}
+        kwargs.update({k: v for k, v in self.default_kwargs.items()
+                       if k not in kwargs})
+        opts = dict(emit_chunk_frames=int(req.get("emit_chunk_frames", 4)))
+        with self.worker_lock:
+            if task == "voice_design":
+                sess = stream_voice_design(self.model, req["text"],
+                                           instruct=req["instruct"],
+                                           language=req.get("language", "auto"),
+                                           **opts, **kwargs)
+            else:
+                sess = stream_custom_voice(self.model, req["text"],
+                                           speaker=req["speaker"],
+                                           language=req.get("language", "auto"),
+                                           instruct=req.get("instruct"),
+                                           **opts, **kwargs)
+            sr = self.model.speech_tokenizer.get_output_sample_rate()
+            for chunk in sess:
+                pcm = (np.clip(chunk, -1, 1) * 32767.0).astype("<i2").tobytes()
+                yield pcm, sr
+            md = sess.metrics
+            self.metrics.record(md.wall_s, md.audio_s)
+
     def handle(self, path: str, body: Optional[dict]) -> tuple[int, dict]:
         try:
             if path == "/health":
@@ -178,8 +209,33 @@ def serve(model, host: str = "127.0.0.1", port: int = 8000,
             except json.JSONDecodeError:
                 self._reply(400, {"error": "invalid json"})
                 return
+            if self.path == "/synthesize_stream":
+                self._stream(body)
+                return
             code, payload = app.handle(self.path, body)
             self._reply(code, payload)
+
+        def _stream(self, body):
+            """Chunked ndjson: one {'pcm16_b64', 'sample_rate'} line per
+            audio packet — first line arrives at first-packet latency."""
+            import base64 as _b64
+            try:
+                gen = app.synthesize_stream(body)
+                self.send_response(200)
+                self.send_header("Content-Type", "application/x-ndjson")
+                self.send_header("Transfer-Encoding", "chunked")
+                self.end_headers()
+                for pcm, sr in gen:
+                    line = json.dumps({"pcm16_b64": _b64.b64encode(pcm).decode(),
+                                       "sample_rate": sr}).encode() + b"\n"
+                    self.wfile.write(hex(len(line))[2:].encode() + b"\r\n"
+                                     + line + b"\r\n")
+                self.wfile.write(b"0\r\n\r\n")
+            except Exception as e:  # noqa: BLE001
+                try:
+                    self._reply(400, {"error": str(e)})
+                except Exception:
+                    pass
 
     httpd = ThreadingHTTPServer((host, port), Handler)
     if ssl_certfile:

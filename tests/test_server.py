@@ -75,3 +75,17 @@ def test_batch_and_error(server):
 if __name__ == "__main__":
     import sys
     sys.exit(pytest.main([__file__, "-q", "-x"]))
+
+
+def test_streaming_endpoint(server):
+    req = urllib.request.Request(
+        server + "/synthesize_stream",
+        data=json.dumps({"text": "stream over http", "speaker": "vivian",
+                         "language": "english", "max_new_tokens": 10,
+                         "emit_chunk_frames": 2, "seed": 5}).encode(),
+        headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req) as r:
+        lines = [json.loads(l) for l in r.read().splitlines() if l.strip()]
+    assert len(lines) >= 1
+    pcm = base64.b64decode(lines[0]["pcm16_b64"])
+    assert len(pcm) > 0 and lines[0]["sample_rate"] == 24000
