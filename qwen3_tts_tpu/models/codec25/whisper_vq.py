@@ -140,6 +140,62 @@ def whisper_vq_encode(params: dict, cfg: WhisperVQEncoderConfig,
     return jnp.argmin(dist, axis=-1).astype(jnp.int32)
 
 
+def whisper_vq_full_output(params: dict, cfg: WhisperVQEncoderConfig,
+                           mel: jax.Array) -> jax.Array:
+    """Full encoder output path (reference WhisperEncoderVQ.forward without
+    return_indices, speech_vq.py:283-357): run ALL layers with the VQ
+    bottleneck re-expanded mid-stack (quantize -> +PE -> proj -> upsample),
+    then avg-pool 2x, ln_post, proj to output_dim, and wrap with the
+    bos/eos rows. Single utterance; returns (T_cnn//2 + 2, output_dim)."""
+    from ...nn.conv import conv1d
+    from ...nn.conv import causal_transconv1d
+
+    chunks, pe_vq = [], []
+    t_mel = mel.shape[1]
+    win2 = cfg.n_window * 2
+    pe = jnp.asarray(params["positional_embedding"])
+    for start in range(0, t_mel, win2):
+        piece = mel[:, start:start + win2].T
+        h = jax.nn.gelu(_conv_same(piece, params["conv1_w"], params["conv1_b"]),
+                        approximate=False)
+        h = jax.nn.gelu(_conv_same(h, params["conv2_w"], params["conv2_b"], stride=2),
+                        approximate=False)
+        chunks.append(h + pe[: h.shape[0]])
+        pe_vq.append(pe[: h.shape[0] // cfg.audio_vq_ds_rate])
+    x = jnp.concatenate(chunks, axis=0)
+    pe_for_vq = jnp.concatenate(pe_vq, axis=0)
+
+    t_cnn = x.shape[0]
+    seg = jnp.arange(t_cnn) // cfg.n_window
+    seg_mask = seg[:, None] == seg[None, :]
+
+    all_blocks = list(params["blocks"]) + list(params.get("post_vq_blocks", []))
+    for i, blk in enumerate(all_blocks):
+        x = _attention_block(x, blk, cfg.n_head, seg_mask)
+        if i + 1 == cfg.audio_vq_layers:
+            ds = cfg.audio_vq_ds_rate
+            xq = conv1d(x[None], params["vq_down_w"], params["vq_down_b"], stride=ds)[0]
+            emb = jnp.asarray(params["codebook"])
+            x32, e32 = xq.astype(jnp.float32), emb.astype(jnp.float32)
+            dist = (jnp.sum(jnp.square(x32), 1, keepdims=True) - 2 * x32 @ e32.T
+                    + jnp.sum(jnp.square(e32), 1)[None])
+            idx = jnp.argmin(dist, axis=-1)
+            xq = jnp.take(emb, idx, axis=0)
+            xq = xq + pe_for_vq[: xq.shape[0]]
+            xq = linear(xq, params["vq_pe_proj_w"], params["vq_pe_proj_b"])
+            x = causal_transconv1d(xq[None], params["vq_up_w"], params["vq_up_b"],
+                                   stride=ds)[0]
+
+    # avg pool 2x over time
+    t2 = (x.shape[0] // 2) * 2
+    x = jnp.mean(x[:t2].reshape(-1, 2, x.shape[-1]), axis=1)
+    x = layer_norm(x, params["ln_post_w"], params["ln_post_b"], eps=1e-5)
+    x = linear(x, params["proj_w"], params["proj_b"])
+    bos = params["bos_eos"][0][None]
+    eos = params["bos_eos"][1][None]
+    return jnp.concatenate([bos, x, eos], axis=0)
+
+
 def convert_whisper_vq(sd, cfg: WhisperVQEncoderConfig,
                        prefix: str = "encoder.tokenizer.") -> dict:
     """Reference WhisperEncoderVQ state dict -> pytree (encode path only)."""
@@ -164,7 +220,10 @@ def convert_whisper_vq(sd, cfg: WhisperVQEncoderConfig,
             "fc1_w": _t(g(b + "mlp.0.weight")), "fc1_b": g(b + "mlp.0.bias"),
             "fc2_w": _t(g(b + "mlp.2.weight")), "fc2_b": g(b + "mlp.2.bias"),
         })
-    return {
+    def _tconv(w):
+        return np.ascontiguousarray(np.transpose(np.asarray(w), (2, 1, 0)))
+
+    out = {
         "conv1_w": _conv(g("conv1.weight")), "conv1_b": g("conv1.bias"),
         "conv2_w": _conv(g("conv2.weight")), "conv2_b": g("conv2.bias"),
         "positional_embedding": g("positional_embedding"),
@@ -173,3 +232,34 @@ def convert_whisper_vq(sd, cfg: WhisperVQEncoderConfig,
         "vq_down_b": g("audio_vq_downsample.bias"),
         "codebook": g("audio_quantizer.rvqs.0.embed")[0],  # (V, D)
     }
+    # full-output path extras (post-VQ continuation; optional for encode)
+    for src, dst, conv in (
+            ("project_after_vq_pe.weight", "vq_pe_proj_w", _t),
+            ("project_after_vq_pe.bias", "vq_pe_proj_b", None),
+            ("audio_vq_upsample.weight", "vq_up_w", _tconv),
+            ("audio_vq_upsample.bias", "vq_up_b", None),
+            ("ln_post.weight", "ln_post_w", None),
+            ("ln_post.bias", "ln_post_b", None),
+            ("proj.weight", "proj_w", _t),
+            ("proj.bias", "proj_b", None),
+            ("audio_bos_eos_token.weight", "bos_eos", None)):
+        if prefix + src in sd:
+            out[dst] = conv(g(src)) if conv else g(src)
+    # remaining (post-VQ) attention blocks for the full path
+    full_blocks = []
+    i = cfg.audio_vq_layers
+    while prefix + f"blocks.{i}.attn_ln.weight" in sd:
+        b = f"blocks.{i}."
+        full_blocks.append({
+            "attn_ln_w": g(b + "attn_ln.weight"), "attn_ln_b": g(b + "attn_ln.bias"),
+            "q_w": _t(g(b + "attn.query.weight")), "q_b": g(b + "attn.query.bias"),
+            "k_w": _t(g(b + "attn.key.weight")),
+            "v_w": _t(g(b + "attn.value.weight")), "v_b": g(b + "attn.value.bias"),
+            "out_w": _t(g(b + "attn.out.weight")), "out_b": g(b + "attn.out.bias"),
+            "mlp_ln_w": g(b + "mlp_ln.weight"), "mlp_ln_b": g(b + "mlp_ln.bias"),
+            "fc1_w": _t(g(b + "mlp.0.weight")), "fc1_b": g(b + "mlp.0.bias"),
+            "fc2_w": _t(g(b + "mlp.2.weight")), "fc2_b": g(b + "mlp.2.bias"),
+        })
+        i += 1
+    out["post_vq_blocks"] = full_blocks
+    return out

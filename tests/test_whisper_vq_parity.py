@@ -96,3 +96,46 @@ def test_whisper_vq_codes_parity():
 if __name__ == "__main__":
     import sys
     sys.exit(pytest.main([__file__, "-q", "-x"]))
+
+
+def test_whisper_vq_full_output_parity():
+    """Full (non-indices) encoder path vs reference WhisperEncoderVQ."""
+    _patch_mel_filters()
+    import torch as th
+    from qwen_tts.core.tokenizer_25hz.vq.speech_vq import WhisperEncoderVQ
+
+    from qwen3_tts_tpu.models.codec25.whisper_vq import whisper_vq_full_output
+
+    th.manual_seed(5)
+    ref = WhisperEncoderVQ(
+        n_mels=ENC_CFG["n_mels"], n_ctx=ENC_CFG["n_ctx"], n_state=ENC_CFG["n_state"],
+        n_head=ENC_CFG["n_head"], n_layer=ENC_CFG["n_layer"],
+        n_window=ENC_CFG["n_window"], output_dim=ENC_CFG["output_dim"],
+        audio_vq_layers=ENC_CFG["audio_vq_layers"], audio_vq_type="GRVQ",
+        audio_vq_codebook_size=ENC_CFG["audio_vq_codebook_size"],
+        audio_vq_pe=True, audio_vq_codebook_dim=ENC_CFG["audio_vq_codebook_dim"],
+        audio_vq_ds_rate=2,
+    ).eval().float()
+    g = th.Generator().manual_seed(6)
+    sd = ref.state_dict()
+    sd["audio_quantizer.rvqs.0.embed"] = th.randn(
+        sd["audio_quantizer.rvqs.0.embed"].shape, generator=g)
+    ref.load_state_dict(sd)
+
+    cfg = WhisperVQEncoderConfig.from_dict(ENC_CFG)
+    params = jax.tree.map(jnp.asarray,
+                          convert_whisper_vq({k: v.numpy() for k, v in ref.state_dict().items()},
+                                             cfg, prefix=""))
+    rng = np.random.RandomState(7)
+    t_mel = 64
+    mel = rng.randn(ENC_CFG["n_mels"], t_mel).astype(np.float32)
+    t_cnn = get_T_after_cnn(t_mel)
+
+    with torch.no_grad():
+        want, _ = ref(x_list=[torch.from_numpy(mel)], audio_mellens=[t_mel],
+                      audio_aftercnnlens=[t_cnn],
+                      audio_seqlens=[t_cnn // 2 + 2], return_indices=False)
+    want = want.numpy()
+    got = np.asarray(whisper_vq_full_output(params, cfg, jnp.asarray(mel)))
+    assert got.shape == want.shape, f"{got.shape} vs {want.shape}"
+    np.testing.assert_allclose(got, want, atol=5e-4)
