@@ -158,3 +158,53 @@ def test_full_generate_greedy_parity(full_ref_and_params, non_streaming):
 if __name__ == "__main__":
     import sys
     sys.exit(pytest.main([__file__, "-q", "-x"]))
+
+
+@pytest.mark.parametrize("non_streaming", [False, True])
+def test_voice_clone_icl_greedy_parity(full_ref_and_params, non_streaming):
+    """ICL voice-clone prompts (ref text + summed ref-code embeds) must yield
+    identical greedy streams (reference generate_icl_prompt :1968-2019)."""
+    ref, cfg, params = full_ref_and_params
+    rng = np.random.RandomState(3)
+    ids = [_fake_input_ids(5, 2)]
+    # ref text template: role(3) + text + [im_end, nl] (2 tail)
+    ref_ids_np = np.concatenate([[1, 5, 6], rng.randint(3, 90, size=(4,)),
+                                 [2, 7]]).astype(np.int64)
+    ref_code = rng.randint(0, 60, size=(6, cfg.talker.num_code_groups))
+
+    vcp_torch = {
+        "ref_code": [torch.from_numpy(ref_code)],
+        "ref_spk_embedding": [torch.from_numpy(
+            rng.randn(cfg.talker.hidden_size).astype(np.float32))],
+        "x_vector_only_mode": [False],
+        "icl_mode": [True],
+    }
+    with torch.no_grad():
+        ref_codes, _ = ref.generate(
+            input_ids=[torch.from_numpy(ids[0]).unsqueeze(0)],
+            ref_ids=[torch.from_numpy(ref_ids_np).unsqueeze(0)],
+            voice_clone_prompt=vcp_torch,
+            languages=["auto"], non_streaming_mode=non_streaming,
+            max_new_tokens=9, do_sample=False, subtalker_dosample=False,
+            temperature=1.0, top_k=1, top_p=1.0, repetition_penalty=1.05,
+            subtalker_temperature=1.0, subtalker_top_k=1, subtalker_top_p=1.0)
+    want = [c.numpy() for c in ref_codes]
+
+    vcp = {
+        "ref_code": [ref_code],
+        "ref_spk_embedding": [np.asarray(vcp_torch["ref_spk_embedding"][0])],
+        "x_vector_only_mode": [False],
+        "icl_mode": [True],
+    }
+    prompt = assemble_prompts(params, cfg, ids, ["auto"],
+                              ref_ids=[ref_ids_np], voice_clone_prompt=vcp,
+                              non_streaming_mode=non_streaming)
+    result = generate_frames(
+        params, cfg.talker, prompt.inputs_embeds, prompt.attention_mask,
+        prompt.trailing_text_hidden, prompt.tts_pad_embed,
+        jax.random.PRNGKey(0), max_frames=8,
+        sampling=SamplingConfig(do_sample=False),
+        subtalker_sampling=SamplingConfig(do_sample=False))
+    got = trim_codes(result)
+    assert got[0].shape == want[0].shape
+    np.testing.assert_array_equal(got[0], want[0])
