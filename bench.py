@@ -64,7 +64,7 @@ def bench_talker(batch: int = 1, cache_len: int = 512, steps: int = 64,
         seen=jnp.zeros((batch, cfg.vocab_size), bool),
         done=jnp.zeros((batch,), bool),
         key=jax.random.PRNGKey(0),
-        step=jnp.zeros((), jnp.int32),
+        step=jnp.zeros((batch,), jnp.int32),
         num_pads=jnp.zeros((batch,), jnp.int32),
     )
     trailing = jnp.zeros((batch, 32, cfg.hidden_size), dtype)
@@ -85,7 +85,7 @@ def bench_talker(batch: int = 1, cache_len: int = 512, steps: int = 64,
     # block_until_ready alone does not synchronize, and identical-argument
     # calls can be served from a result cache, so the timed call uses a
     # different PRNG key and ends with a scalar fetch.
-    int(run(params, state).step)  # compile + warmup
+    int(run(params, state).step[0])  # compile + warmup
     dt = min(_timed_run(run, params, state, seed) for seed in (11, 22, 33))
     frames_per_s = steps * batch / dt
     return frames_per_s, dt / steps
@@ -95,7 +95,7 @@ def _timed_run(run, params, state, seed):
     st = state._replace(key=jax.random.PRNGKey(seed))
     t0 = time.perf_counter()
     out = run(params, st)
-    _ = int(out.step) + int(out.token0[0])
+    _ = int(out.step[0]) + int(out.token0[0])
     return time.perf_counter() - t0
 
 

@@ -71,7 +71,8 @@ class Qwen3TTSModel:
     @classmethod
     def from_pretrained(cls, model_dir: str, dtype=jnp.bfloat16,
                         load_processor: bool = True,
-                        quantization: str | None = None) -> "Qwen3TTSModel":
+                        quantization: str | None = None,
+                        fuse: bool = True) -> "Qwen3TTSModel":
         """Load a local reference-format checkpoint dir: config.json +
         safetensors + speech_tokenizer/ + generation_config.json
         (reference from_pretrained flow, modeling_qwen3_tts.py:1855-1938)."""
@@ -84,10 +85,12 @@ class Qwen3TTSModel:
         talker_params = jax.tree.map(
             lambda x: jnp.asarray(x, dtype) if np.issubdtype(x.dtype, np.floating)
             else jnp.asarray(x), talker_params)
-        # fuse qkv + gate/up (semantics-preserving, fewer small matmuls)
+        # fuse qkv + gate/up (semantics-preserving, fewer small matmuls);
+        # pass fuse=False to keep the HF-exportable layout (finetuning)
         from ..models.talker import fuse_talker_params, quantize_talker_params
 
-        talker_params = jax.jit(fuse_talker_params)(talker_params)
+        if fuse:
+            talker_params = jax.jit(fuse_talker_params)(talker_params)
         if quantization == "int8":
             # weight-only int8: ~1.5x faster decode at b=1 on v5e
             talker_params = jax.jit(quantize_talker_params)(talker_params)

@@ -260,24 +260,25 @@ def generate_frames(
 
     def cond(carry):
         st, _, _ = carry
-        return (st.step < max_frames) & ~jnp.all(st.done)
+        return (st.step[0] < max_frames) & ~jnp.all(st.done)
 
     def body(carry):
         st, codes, hiddens = carry
         new_st, frame, frame_hidden = talker_decode_step(
             params, cfg, st, trailing_text_hidden, tts_pad_embed, pad_mask_full,
             sampling, subtalker_sampling, suppress)
-        codes = jax.lax.dynamic_update_slice(codes, frame[:, None, :], (0, st.step, 0))
+        codes = jax.lax.dynamic_update_slice(codes, frame[:, None, :],
+                                             (0, st.step[0], 0))
         if collect_hidden:
             hiddens = jax.lax.dynamic_update_slice(
-                hiddens, frame_hidden[:, None, :], (0, st.step, 0))
+                hiddens, frame_hidden[:, None, :], (0, st.step[0], 0))
         return new_st, codes, hiddens
 
     state, codes_buf, hidden_buf = jax.lax.while_loop(
         cond, body, (state, codes_buf, hidden_buf))
 
     # effective length: first EOS in codebook 0 (reference :2283-2291)
-    frame_count = state.step
+    frame_count = state.step[0]
     first_cb = codes_buf[:, :, 0]
     valid = jnp.arange(max_frames)[None, :] < frame_count
     is_eos = (first_cb == cfg.codec_eos_token_id) & valid

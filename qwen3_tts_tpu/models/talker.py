@@ -211,7 +211,7 @@ class TalkerState(NamedTuple):
     seen: jax.Array          # (B, V) repetition-penalty token set
     done: jax.Array          # (B,) bool: EOS sampled
     key: jax.Array
-    step: jax.Array          # scalar int32: frames generated so far
+    step: jax.Array          # (B,) int32: frames generated per slot
     num_pads: jax.Array      # (B,) left-pad counts (rope delta)
 
 
@@ -261,7 +261,7 @@ def talker_prefill(
         seen=seen,
         done=jnp.zeros((b,), bool),
         key=key,
-        step=jnp.zeros((), jnp.int32),
+        step=jnp.zeros((b,), jnp.int32),
         num_pads=num_pads,
     )
 
@@ -294,11 +294,13 @@ def talker_decode_step(
     frame_hidden = state.past_hidden
 
     # next-step input: sum of all 16 embeddings + trailing text (or pad)
+    # per-slot step indexing supports continuous batching (slots at
+    # different generation depths share one program)
     next_embed = last_id_hidden + cp_embed_sum
     t_text = trailing_text_hidden.shape[1]
-    idx = jnp.minimum(state.step, t_text - 1)
-    text_h = jax.lax.dynamic_index_in_dim(trailing_text_hidden, idx, axis=1,
-                                          keepdims=False)  # (B, H)
+    idx = jnp.minimum(state.step, t_text - 1)  # (B,)
+    text_h = jnp.take_along_axis(
+        trailing_text_hidden, idx[:, None, None].astype(jnp.int32), axis=1)[:, 0]
     text_h = jnp.where((state.step < t_text)[..., None], text_h,
                        jnp.broadcast_to(tts_pad_embed, text_h.shape))
     x = (next_embed + text_h)[:, None, :]  # (B, 1, H)
@@ -312,10 +314,9 @@ def talker_decode_step(
     logits = _head(params, "codec_head", last_h).astype(jnp.float32)
 
     key, sub = jax.random.split(key)
-    block_eos = (state.step + 1) < 2  # min_new_tokens=2
+    block_eos = (state.step + 1) < 2  # (B,) min_new_tokens=2
     proc = process_logits(logits, sampling, state.seen, suppress_mask,
-                          cfg.codec_eos_token_id,
-                          jnp.broadcast_to(block_eos, (b,)))
+                          cfg.codec_eos_token_id, block_eos)
     token0 = sample_token(sub, proc, sampling.do_sample)
     seen = state.seen.at[jnp.arange(b), token0].set(True)
     done = state.done | (state.token0 == cfg.codec_eos_token_id)

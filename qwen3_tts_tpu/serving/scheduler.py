@@ -1,0 +1,290 @@
+"""Continuous batching for TTS serving.
+
+Requests join and leave a persistent fixed-capacity decode batch at frame
+boundaries, instead of serializing whole utterances (the reference serves
+via a gradio queue — whole-request serialization). TPU-friendly design:
+
+- ONE persistent TalkerState of capacity B with a shared cache write index.
+  A joining request is right-aligned to the current index: its prompt is
+  prefilled into its slot's cache rows ending exactly at `index`, so every
+  slot shares the same static-shape decode program. Positions beyond the
+  prompt that predate the join are masked per-slot; cache slots ahead of the
+  index hold garbage that is overwritten before it ever becomes visible
+  (decode writes slot i before any query reads it).
+- Admission prefill is a fixed-shape program (prompt padded to the full
+  cache width) — one compilation, reused for every join.
+- Per-slot `step` vectors (see TalkerState) let slots sit at different
+  generation depths inside one jitted burst.
+- When the batch drains or the cache fills, the state resets to index 0.
+"""
+
+from __future__ import annotations
+
+import functools
+import queue
+import threading
+from concurrent.futures import Future
+from dataclasses import dataclass, field
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.talker import (TalkerState, talker_decode_step, talker_spec)
+from ..nn.cache import KVCache
+from ..nn.rope import make_inv_freq, rope_cos_sin
+from ..nn.sampling import SamplingConfig, make_suppress_mask, process_logits, sample_token
+from ..nn.transformer import cache_attention_mask, stack_forward
+
+
+@dataclass
+class _Request:
+    prompt: object              # AssembledPrompt (b=1)
+    max_frames: int
+    future: Future = field(default_factory=Future)
+    frames: list = field(default_factory=list)
+    slot: int = -1
+
+
+class ContinuousBatcher:
+    """Slot-based continuous batching over the fused decode step."""
+
+    def __init__(self, model, capacity: int = 8, cache_len: int = 1024,
+                 burst_frames: int = 8,
+                 sampling: Optional[SamplingConfig] = None,
+                 sub_sampling: Optional[SamplingConfig] = None):
+        self.model = model
+        self.cfg = model.config.talker
+        self.spec = talker_spec(self.cfg)
+        self.capacity = capacity
+        self.cache_len = cache_len
+        self.burst_frames = burst_frames
+        self.sampling = sampling or SamplingConfig()
+        self.sub_sampling = sub_sampling or SamplingConfig()
+        self.suppress = make_suppress_mask(self.cfg.vocab_size, 1024,
+                                           (self.cfg.codec_eos_token_id,))
+        self.dtype = model.dtype
+        self.trailing_cap = 256  # max trailing-text length per request
+
+        self._queue: "queue.Queue[_Request]" = queue.Queue()
+        self._active: dict[int, _Request] = {}
+        self._lock = threading.Lock()
+        self._wake = threading.Event()
+        self._stop = False
+        self._reset_state()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    # ------------------------------------------------------------------ API
+
+    def submit(self, text: str, speaker: Optional[str] = None,
+               language: str = "auto", instruct: Optional[str] = None,
+               max_frames: int = 256, **_ignored) -> Future:
+        """Enqueue a synthesis request; resolves to (wav np.ndarray, sr)."""
+        from ..models.generation import assemble_prompts
+
+        model = self.model
+        input_ids = model._tokenize_texts([model._build_assistant_text(text)])
+        instruct_ids = None
+        if instruct:
+            instruct_ids = [model._tokenize_texts(
+                [model._build_instruct_text(instruct)])[0]]
+        prompt = assemble_prompts(model.talker_params, model.config, input_ids,
+                                  [language], [speaker] if speaker else None,
+                                  instruct_ids, non_streaming_mode=False)
+        req = _Request(prompt=prompt, max_frames=max_frames)
+        self._queue.put(req)
+        self._wake.set()
+        return req.future
+
+    def shutdown(self):
+        self._stop = True
+        self._wake.set()
+        self._thread.join(timeout=30)
+
+    # ----------------------------------------------------------- device ops
+
+    def _reset_state(self):
+        b = self.capacity
+        cache = KVCache.create(self.spec.num_layers, b, self.cache_len,
+                               self.spec.num_kv_heads, self.spec.head_dim,
+                               dtype=self.dtype)
+        # a fresh batch starts at index 1 so joins always have >= 1 position
+        self.state = TalkerState(
+            cache=cache._replace(index=jnp.asarray(1, jnp.int32)),
+            token0=jnp.zeros((b,), jnp.int32),
+            past_hidden=jnp.zeros((b, self.cfg.hidden_size), self.dtype),
+            seen=jnp.zeros((b, self.cfg.vocab_size), bool),
+            done=jnp.ones((b,), bool),
+            key=jax.random.PRNGKey(np.random.randint(0, 2**31)),
+            step=jnp.zeros((b,), jnp.int32),
+            num_pads=jnp.zeros((b,), jnp.int32),
+        )
+        self.pad_mask = jnp.zeros((b, self.cache_len), jnp.int32)
+        self.trailing = jnp.zeros((b, self.trailing_cap, self.cfg.hidden_size),
+                                  self.dtype)
+        self.pad_embed = jnp.zeros((1, self.cfg.hidden_size), self.dtype)
+
+    @functools.cached_property
+    def _join_fn(self):
+        spec, cfg = self.spec, self.cfg
+        s_max = self.cache_len
+
+        @jax.jit
+        def join(params, state: TalkerState, pad_mask, trailing_buf,
+                 embeds_full, row_mask, trailing_row, pad_embed, slot, key):
+            """Prefill one request (right-aligned at state.cache.index into a
+            fixed-width buffer) and install it into `slot`."""
+            inv = make_inv_freq(spec.head_dim, spec.rope_theta)
+            positions = jnp.maximum(jnp.cumsum(row_mask, axis=-1) - 1, 0)
+            cos, sin = rope_cos_sin(positions, inv, embeds_full.dtype)
+            row_cache = KVCache.create(spec.num_layers, 1, s_max,
+                                       spec.num_kv_heads, spec.head_dim,
+                                       dtype=self.dtype)
+            mask = cache_attention_mask(row_mask, s_max, row_cache.index, s_max,
+                                        spec.sliding_window)
+            h, row_cache = stack_forward(spec, params["layers"], embeds_full,
+                                         cos, sin, mask, row_cache)
+            idx = state.cache.index
+            last_h = jax.lax.dynamic_index_in_dim(h, idx - 1, axis=1,
+                                                  keepdims=False)[0]  # (H,)
+            from ..models.talker import _head
+
+            logits = _head(params, "codec_head", last_h[None]).astype(jnp.float32)
+            seen_row = jnp.zeros((1, cfg.vocab_size), bool)
+            key, sub = jax.random.split(key)
+            proc = process_logits(logits, self.sampling, seen_row, self.suppress,
+                                  cfg.codec_eos_token_id, jnp.ones((1,), bool))
+            token0 = sample_token(sub, proc, self.sampling.do_sample)[0]
+
+            n_valid = jnp.sum(row_mask)
+            new_state = TalkerState(
+                cache=state.cache._replace(
+                    k=state.cache.k.at[:, slot].set(row_cache.k[:, 0]),
+                    v=state.cache.v.at[:, slot].set(row_cache.v[:, 0])),
+                token0=state.token0.at[slot].set(token0),
+                past_hidden=state.past_hidden.at[slot].set(last_h),
+                seen=state.seen.at[slot].set(
+                    seen_row[0].at[token0].set(True)),
+                done=state.done.at[slot].set(False),
+                key=key,
+                step=state.step.at[slot].set(0),
+                num_pads=state.num_pads.at[slot].set(
+                    (idx - n_valid).astype(jnp.int32)),
+            )
+            new_pad_mask = pad_mask.at[slot].set(
+                (jnp.arange(s_max) >= idx - n_valid).astype(jnp.int32))
+            new_trailing = trailing_buf.at[slot].set(trailing_row)
+            return new_state, new_pad_mask, new_trailing
+
+        return join
+
+    @functools.cached_property
+    def _burst_fn(self):
+        cfg = self.cfg
+
+        @jax.jit
+        def burst(params, state, trailing, pad_embed, pad_mask):
+            def body(carry, _):
+                st = carry
+                st, frame, _ = talker_decode_step(
+                    params, cfg, st, trailing, pad_embed, pad_mask,
+                    self.sampling, self.sub_sampling, self.suppress)
+                return st, frame
+            state, frames = jax.lax.scan(body, state, None,
+                                         length=self.burst_frames)
+            return state, jnp.transpose(frames, (1, 0, 2))
+
+        return burst
+
+    # --------------------------------------------------------------- worker
+
+    def _admit(self):
+        while (len(self._active) < self.capacity and not self._queue.empty()
+               and int(self.state.cache.index) < self.cache_len - 2 * self.burst_frames):
+            req = self._queue.get()
+            free = [s for s in range(self.capacity) if s not in self._active]
+            slot = free[0]
+            p = req.prompt
+            t_p = p.inputs_embeds.shape[1]
+            idx = int(self.state.cache.index)
+            if t_p > idx:
+                # not enough room at the left: advance index by re-aligning
+                # (fresh batches start at index 1; pad the whole batch state)
+                needed = t_p - idx
+                self.state = self.state._replace(
+                    cache=self.state.cache._replace(
+                        index=self.state.cache.index + needed))
+                idx += needed
+            embeds_full = jnp.zeros((1, self.cache_len, self.cfg.hidden_size),
+                                    self.dtype)
+            embeds_full = embeds_full.at[:, idx - t_p: idx].set(
+                p.inputs_embeds.astype(self.dtype))
+            row_mask = jnp.zeros((1, self.cache_len), jnp.int32)
+            n_valid = int(p.attention_mask.sum())
+            row_mask = row_mask.at[:, idx - n_valid: idx].set(1)
+            trailing_row = jnp.zeros((self.trailing_cap, self.cfg.hidden_size),
+                                     self.dtype)
+            t_tr = min(p.trailing_text_hidden.shape[1], self.trailing_cap)
+            trailing_row = trailing_row.at[:t_tr].set(
+                p.trailing_text_hidden[0, :t_tr].astype(self.dtype))
+            # pad-embed fill beyond the real trailing text
+            trailing_row = trailing_row.at[t_tr:].set(
+                jnp.broadcast_to(p.tts_pad_embed.astype(self.dtype),
+                                 (self.trailing_cap - t_tr,
+                                  self.cfg.hidden_size))[0:self.trailing_cap - t_tr])
+            self.pad_embed = p.tts_pad_embed.astype(self.dtype)
+
+            key = jax.random.PRNGKey(np.random.randint(0, 2**31))
+            self.state, self.pad_mask, self.trailing = self._join_fn(
+                self.model.talker_params, self.state, self.pad_mask,
+                self.trailing, embeds_full, row_mask, trailing_row,
+                self.pad_embed, slot, key)
+            req.slot = slot
+            self._active[slot] = req
+
+    def _harvest(self, frames: np.ndarray):
+        done = np.asarray(self.state.done)
+        finished = []
+        for slot, req in list(self._active.items()):
+            fr = frames[slot]  # (burst, groups)
+            eos = fr[:, 0] == self.cfg.codec_eos_token_id
+            if eos.any():
+                fr = fr[: int(np.argmax(eos))]
+            req.frames.append(fr)
+            total = sum(len(f) for f in req.frames)
+            if bool(done[slot]) or eos.any() or total >= req.max_frames:
+                finished.append(slot)
+        for slot in finished:
+            req = self._active.pop(slot)
+            self.state = self.state._replace(
+                done=self.state.done.at[slot].set(True))
+            codes = np.concatenate(req.frames) if req.frames else \
+                np.zeros((0, self.cfg.num_code_groups), np.int64)
+            codes = codes[: req.max_frames]
+            try:
+                out = self.model.speech_tokenizer.decode(
+                    [{"audio_codes": codes.astype(np.int64)}])
+                sr = self.model.speech_tokenizer.get_output_sample_rate()
+                req.future.set_result((out.audio_values[0], sr))
+            except Exception as e:  # noqa: BLE001
+                req.future.set_exception(e)
+
+    def _run(self):
+        while not self._stop:
+            with self._lock:
+                self._admit()
+            if not self._active:
+                if int(self.state.cache.index) > 1:
+                    self._reset_state()
+                self._wake.wait(timeout=0.1)
+                self._wake.clear()
+                continue
+            self.state, frames = self._burst_fn(
+                self.model.talker_params, self.state, self.trailing,
+                self.pad_embed, self.pad_mask)
+            self._harvest(np.asarray(frames))
+            if (int(self.state.cache.index) >= self.cache_len - self.burst_frames - 1
+                    and not self._active):
+                self._reset_state()

@@ -325,9 +325,39 @@ def to_device_dtype(pytree, dtype=jnp.bfloat16, keep_f32: tuple = ()):
 # ---------------------------------------------------------------------------
 
 
+def _unfuse_layers(layers: dict, cfg: TalkerConfig | None, kd: int, qd: int) -> dict:
+    """Split fused qkv_proj / gate_up_proj back into HF-shaped weights."""
+    out = dict(layers)
+    if "qkv_proj" in out:
+        qkv = np.asarray(out.pop("qkv_proj"))
+        out["q_proj"] = qkv[..., :qd]
+        out["k_proj"] = qkv[..., qd:qd + kd]
+        out["v_proj"] = qkv[..., qd + kd:]
+    if "gate_up_proj" in out:
+        gu = np.asarray(out.pop("gate_up_proj"))
+        half = gu.shape[-1] // 2
+        out["gate_proj"] = gu[..., :half]
+        out["up_proj"] = gu[..., half:]
+    return out
+
+
 def talker_to_state_dict(params, cfg: TalkerConfig, prefix: str = "talker.") -> dict:
     """Inverse of convert_talker: stacked pytree -> flat HF-named numpy dict,
-    so finetuned models save back into reference-format checkpoints."""
+    so finetuned models save back into reference-format checkpoints.
+    Handles fused (qkv/gate_up) layouts transparently; int8-quantized params
+    are not exportable (quantize after loading, not before saving)."""
+    params = dict(params)
+    params["layers"] = _unfuse_layers(
+        params["layers"], cfg,
+        cfg.num_key_value_heads * cfg.head_dim,
+        cfg.num_attention_heads * cfg.head_dim)
+    cp_cfg = cfg.code_predictor
+    cpd = dict(params["code_predictor"])
+    cpd["layers"] = _unfuse_layers(
+        cpd["layers"], None,
+        cp_cfg.num_key_value_heads * cp_cfg.head_dim,
+        cp_cfg.num_attention_heads * cp_cfg.head_dim)
+    params["code_predictor"] = cpd
     out = {}
 
     def un_t(w):

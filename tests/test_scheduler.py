@@ -1,0 +1,54 @@
+"""Continuous batching scheduler tests on the tiny checkpoint."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from _checkpoint import StubProcessor, build_checkpoint
+
+
+@pytest.fixture(scope="module")
+def batcher(tmp_path_factory):
+    from qwen3_tts_tpu.inference.tts_model import Qwen3TTSModel
+    from qwen3_tts_tpu.serving.scheduler import ContinuousBatcher
+    from qwen3_tts_tpu.nn.sampling import SamplingConfig
+
+    d = build_checkpoint(str(tmp_path_factory.mktemp("cb")), "custom_voice")
+    m = Qwen3TTSModel.from_pretrained(d, dtype=jnp.float32, load_processor=False)
+    m.processor = StubProcessor()
+    b = ContinuousBatcher(m, capacity=3, cache_len=128, burst_frames=3,
+                          sampling=SamplingConfig(do_sample=True, top_k=10),
+                          sub_sampling=SamplingConfig(do_sample=True, top_k=10))
+    yield b
+    b.shutdown()
+
+
+def test_single_request(batcher):
+    fut = batcher.submit("hello world", speaker="vivian", language="english",
+                         max_frames=6)
+    wav, sr = fut.result(timeout=300)
+    assert sr == 24000 and wav.ndim == 1
+
+
+def test_concurrent_requests_batched(batcher):
+    futs = [batcher.submit(f"request number {i}", speaker="vivian",
+                           language="english", max_frames=5 + i)
+            for i in range(5)]  # > capacity: forces queueing + slot reuse
+    results = [f.result(timeout=600) for f in futs]
+    assert len(results) == 5
+    for wav, sr in results:
+        assert sr == 24000 and wav.ndim == 1
+
+
+def test_batch_then_drain_then_new(batcher):
+    f1 = batcher.submit("first", speaker="vivian", max_frames=4)
+    f1.result(timeout=300)
+    # after drain the state resets; a new request must still work
+    f2 = batcher.submit("after the drain", speaker="vivian", max_frames=4)
+    wav, sr = f2.result(timeout=300)
+    assert wav.ndim == 1
+
+
+if __name__ == "__main__":
+    import sys
+    sys.exit(pytest.main([__file__, "-q", "-x"]))
