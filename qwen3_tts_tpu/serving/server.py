@@ -82,17 +82,42 @@ class ServerMetrics:
 
 
 class TTSServer:
-    def __init__(self, model, default_kwargs: Optional[Dict[str, Any]] = None):
+    def __init__(self, model, default_kwargs: Optional[Dict[str, Any]] = None,
+                 continuous_batching: bool = False, batch_capacity: int = 8):
         self.model = model
         self.default_kwargs = default_kwargs or {}
         self.metrics = ServerMetrics()
         self.worker_lock = threading.Lock()
+        self.batcher = None
+        if continuous_batching:
+            from .scheduler import ContinuousBatcher
+
+            self.batcher = ContinuousBatcher(model, capacity=batch_capacity)
 
     # ---------------------------------------------------------------- tasks
 
     def synthesize(self, req: Dict[str, Any]) -> Dict[str, Any]:
         t0 = time.perf_counter()
         task = req.get("task", "custom_voice")
+        # continuous-batching fast path for custom-voice requests
+        if self.batcher is not None and task == "custom_voice":
+            fut = self.batcher.submit(
+                req["text"] if isinstance(req["text"], str) else req["text"][0],
+                speaker=req["speaker"], language=req.get("language", "auto"),
+                instruct=req.get("instruct"),
+                max_frames=int(req.get("max_new_tokens", 2048)) - 1)
+            wav, sr = fut.result()
+            dt = time.perf_counter() - t0
+            audio_s = len(wav) / sr
+            self.metrics.record(dt, audio_s)
+            return {
+                "audio_b64": base64.b64encode(_wav_bytes(wav, sr)).decode(),
+                "sample_rate": sr,
+                "metrics": {"latency_s": round(dt, 4),
+                            "audio_s": round(audio_s, 3),
+                            "rtf": round(audio_s / dt, 3) if dt else None,
+                            "batched": True},
+            }
         kwargs = dict(self.default_kwargs)
         for k in ("do_sample", "top_k", "top_p", "temperature",
                   "repetition_penalty", "max_new_tokens", "seed"):
@@ -183,8 +208,10 @@ class TTSServer:
 
 def serve(model, host: str = "127.0.0.1", port: int = 8000,
           default_kwargs: Optional[dict] = None, ssl_certfile=None,
-          ssl_keyfile=None, block: bool = True):
-    app = TTSServer(model, default_kwargs)
+          ssl_keyfile=None, block: bool = True,
+          continuous_batching: bool = False, batch_capacity: int = 8):
+    app = TTSServer(model, default_kwargs, continuous_batching=continuous_batching,
+                    batch_capacity=batch_capacity)
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):  # quiet

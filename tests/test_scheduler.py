@@ -52,3 +52,33 @@ def test_batch_then_drain_then_new(batcher):
 if __name__ == "__main__":
     import sys
     sys.exit(pytest.main([__file__, "-q", "-x"]))
+
+
+def test_server_with_continuous_batching(tmp_path_factory):
+    import json
+    import threading
+    import urllib.request
+
+    from qwen3_tts_tpu.inference.tts_model import Qwen3TTSModel
+    from qwen3_tts_tpu.serving.server import serve
+
+    d = build_checkpoint(str(tmp_path_factory.mktemp("cbsrv")), "custom_voice")
+    m = Qwen3TTSModel.from_pretrained(d, dtype=jnp.float32, load_processor=False)
+    m.processor = StubProcessor()
+    httpd, app = serve(m, host="127.0.0.1", port=18754, block=False,
+                       continuous_batching=True, batch_capacity=2)
+    th = threading.Thread(target=httpd.serve_forever, daemon=True)
+    th.start()
+    try:
+        req = urllib.request.Request(
+            "http://127.0.0.1:18754/synthesize",
+            data=json.dumps({"text": "batched request", "speaker": "vivian",
+                             "language": "english", "max_new_tokens": 6}).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=300) as r:
+            out = json.loads(r.read())
+        assert out["metrics"]["batched"] is True
+        assert out["sample_rate"] == 24000
+    finally:
+        httpd.shutdown()
+        app.batcher.shutdown()
