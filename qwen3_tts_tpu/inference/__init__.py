@@ -1,0 +1,10 @@
+from .tts_model import Qwen3TTSModel, VoiceClonePromptItem
+from .tts_tokenizer import Qwen3TTSTokenizer
+from .streaming import (StreamingSession, stream_custom_voice,
+                        stream_voice_clone, stream_voice_design)
+
+__all__ = [
+    "Qwen3TTSModel", "VoiceClonePromptItem", "Qwen3TTSTokenizer",
+    "StreamingSession", "stream_custom_voice", "stream_voice_clone",
+    "stream_voice_design",
+]
