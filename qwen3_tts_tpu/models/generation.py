@@ -188,6 +188,8 @@ def assemble_prompts(
                 trailing = jnp.concatenate(
                     [_text_embed(params, input_id[4:-5]), tts_eos_embed], axis=0)
 
+        if parts:  # instruct prefix goes before everything (reference :2076-2081)
+            talker_embed = jnp.concatenate(parts + [talker_embed], axis=0)
         embeds_list.append(talker_embed)
         trailing_list.append(trailing)
 

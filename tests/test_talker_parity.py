@@ -208,3 +208,37 @@ def test_voice_clone_icl_greedy_parity(full_ref_and_params, non_streaming):
     got = trim_codes(result)
     assert got[0].shape == want[0].shape
     np.testing.assert_array_equal(got[0], want[0])
+
+
+def test_instruct_prompt_greedy_parity(full_ref_and_params):
+    """Instruction prefix (voice-design/custom-voice instruct) must yield
+    identical greedy streams (reference :2076-2081)."""
+    ref, cfg, params = full_ref_and_params
+    rng = np.random.RandomState(9)
+    ids = [_fake_input_ids(6, 4)]
+    # "<|im_start|>user\n{instruct}<|im_end|>\n" arbitrary ids
+    instruct = np.concatenate([[1, 8, 6], rng.randint(3, 90, size=(5,)),
+                               [2, 7]]).astype(np.int64)
+
+    with torch.no_grad():
+        ref_codes, _ = ref.generate(
+            input_ids=[torch.from_numpy(ids[0]).unsqueeze(0)],
+            instruct_ids=[torch.from_numpy(instruct).unsqueeze(0)],
+            languages=["english"], speakers=["vivian"],
+            non_streaming_mode=True,
+            max_new_tokens=8, do_sample=False, subtalker_dosample=False,
+            temperature=1.0, top_k=1, top_p=1.0, repetition_penalty=1.05,
+            subtalker_temperature=1.0, subtalker_top_k=1, subtalker_top_p=1.0)
+    want = [c.numpy() for c in ref_codes]
+
+    prompt = assemble_prompts(params, cfg, ids, ["english"], ["vivian"],
+                              instruct_ids=[instruct], non_streaming_mode=True)
+    result = generate_frames(
+        params, cfg.talker, prompt.inputs_embeds, prompt.attention_mask,
+        prompt.trailing_text_hidden, prompt.tts_pad_embed,
+        jax.random.PRNGKey(0), max_frames=7,
+        sampling=SamplingConfig(do_sample=False),
+        subtalker_sampling=SamplingConfig(do_sample=False))
+    got = trim_codes(result)
+    assert got[0].shape == want[0].shape
+    np.testing.assert_array_equal(got[0], want[0])
