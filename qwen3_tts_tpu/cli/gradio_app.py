@@ -63,6 +63,35 @@ def launch_gradio(model, args, overrides: dict):
             gr.Button("Clone").click(_voice_clone,
                                      [text, ref_audio, ref_text, xvec, language], out)
 
+            # saved-voice reuse (reference demo.py:501-582 saves/loads prompts)
+            from ..inference.tts_model import (load_voice_clone_prompt,
+                                               save_voice_clone_prompt)
+
+            voice_path = gr.Textbox(label="Voice prompt file (.npz / .pt)")
+            status = gr.Textbox(label="Voice status", interactive=False)
+
+            def _save_voice(ref_audio, ref_text, xvec_only, path):
+                ref_sr, ref_wav = ref_audio
+                items = model.create_voice_clone_prompt(
+                    (np.asarray(ref_wav, np.float32) / 32768.0
+                     if ref_wav.dtype == np.int16 else ref_wav, ref_sr),
+                    ref_text=ref_text or None,
+                    x_vector_only_mode=bool(xvec_only))
+                save_voice_clone_prompt(items, path)
+                return f"saved voice prompt -> {path}"
+
+            def _clone_saved(text, path, language):
+                items = load_voice_clone_prompt(path)
+                wavs, sr = model.generate_voice_clone(
+                    text, language=language or "auto",
+                    voice_clone_prompt=items, **overrides)
+                return sr, np.asarray(wavs[0])
+
+            gr.Button("Save voice").click(
+                _save_voice, [ref_audio, ref_text, xvec, voice_path], status)
+            gr.Button("Clone from saved voice").click(
+                _clone_saved, [text, voice_path, language], out)
+
     demo.queue(default_concurrency_limit=args.concurrency).launch(
         server_name=args.ip, server_port=args.port, share=args.share,
         ssl_certfile=args.ssl_certfile, ssl_keyfile=args.ssl_keyfile,

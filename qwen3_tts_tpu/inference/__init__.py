@@ -1,4 +1,5 @@
-from .tts_model import Qwen3TTSModel, VoiceClonePromptItem
+from .tts_model import (Qwen3TTSModel, VoiceClonePromptItem,
+                        load_voice_clone_prompt, save_voice_clone_prompt)
 from .tts_tokenizer import Qwen3TTSTokenizer
 from .streaming import (StreamingSession, stream_custom_voice,
                         stream_voice_clone, stream_voice_design)
@@ -6,5 +7,5 @@ from .streaming import (StreamingSession, stream_custom_voice,
 __all__ = [
     "Qwen3TTSModel", "VoiceClonePromptItem", "Qwen3TTSTokenizer",
     "StreamingSession", "stream_custom_voice", "stream_voice_clone",
-    "stream_voice_design",
+    "stream_voice_design", "save_voice_clone_prompt", "load_voice_clone_prompt",
 ]

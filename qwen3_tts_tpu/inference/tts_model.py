@@ -37,13 +37,81 @@ HARD_DEFAULTS = dict(
 
 @dataclass
 class VoiceClonePromptItem:
-    """Reusable voice-clone prompt (reference qwen3_tts_model.py:40-52)."""
+    """Reusable voice-clone prompt (reference qwen3_tts_model.py:40-52).
 
-    ref_code: Optional[np.ndarray]          # (T, num_code_groups) or None
+    For 25Hz (v1) checkpoints the vocoder is a DiT+BigVGAN conditioned on a
+    CAM++ x-vector and a reference mel, so the prompt additionally carries
+    `x_vector` / `ref_mel` (the reference wrapper drops these and its 25Hz
+    decode path is broken; here they ride the prompt item)."""
+
+    ref_code: Optional[np.ndarray]          # (T, num_code_groups) / (T,) v1
     ref_spk_embedding: Optional[np.ndarray]  # (H,)
     x_vector_only_mode: bool = False
     icl_mode: bool = True
     ref_text: Optional[str] = None
+    x_vector: Optional[np.ndarray] = None   # (192,) 25Hz only
+    ref_mel: Optional[np.ndarray] = None    # (T_ref, 80) 25Hz only
+
+
+def save_voice_clone_prompt(items: List[VoiceClonePromptItem], path: str) -> None:
+    """Persist voice-clone prompt items for reuse (reference demo.py:501-551
+    saves them as torch `.pt` payloads; natively we use `.npz`)."""
+    import dataclasses
+
+    payload: Dict[str, Any] = {"n": np.asarray(len(items))}
+    for i, it in enumerate(items):
+        for f in dataclasses.fields(VoiceClonePromptItem):
+            v = getattr(it, f.name)
+            if v is None:
+                continue
+            if isinstance(v, (bool, str)):
+                payload[f"{i}.{f.name}"] = np.asarray(v)
+            else:
+                payload[f"{i}.{f.name}"] = np.asarray(v)
+    np.savez(path if path.endswith(".npz") else path + ".npz", **payload)
+
+
+def load_voice_clone_prompt(path: str) -> List[VoiceClonePromptItem]:
+    """Load `.npz` prompts saved above, or reference-format `.pt` payloads
+    (torch pickles of prompt-item lists / dicts, demo.py:553-582)."""
+    if path.endswith(".pt"):
+        import torch
+
+        obj = torch.load(path, map_location="cpu", weights_only=False)
+        items_raw = obj if isinstance(obj, list) else obj.get("items", [obj])
+        out = []
+        for it in items_raw:
+            d = it if isinstance(it, dict) else it.__dict__
+            to_np = lambda v: (v.detach().cpu().numpy()
+                               if hasattr(v, "detach") else v)
+            out.append(VoiceClonePromptItem(
+                ref_code=to_np(d.get("ref_code")),
+                ref_spk_embedding=to_np(d.get("ref_spk_embedding")),
+                x_vector_only_mode=bool(d.get("x_vector_only_mode", False)),
+                icl_mode=bool(d.get("icl_mode", True)),
+                ref_text=d.get("ref_text"),
+                x_vector=to_np(d.get("x_vector")),
+                ref_mel=to_np(d.get("ref_mel"))))
+        return out
+    data = np.load(path if path.endswith(".npz") else path + ".npz",
+                   allow_pickle=False)
+    n = int(data["n"])
+    items = []
+    for i in range(n):
+        kw: Dict[str, Any] = {"ref_code": None, "ref_spk_embedding": None}
+        for key in data.files:
+            if not key.startswith(f"{i}."):
+                continue
+            name = key.split(".", 1)[1]
+            v = data[key]
+            if name in ("x_vector_only_mode", "icl_mode"):
+                kw[name] = bool(v)
+            elif name == "ref_text":
+                kw[name] = str(v)
+            else:
+                kw[name] = v
+        items.append(VoiceClonePromptItem(**kw))
+    return items
 
 
 class Qwen3TTSModel:
@@ -208,9 +276,33 @@ class Qwen3TTSModel:
             key, max_frames, sampling, sub_sampling)
         return trim_codes(result)
 
-    def _decode_wavs(self, codes_list: List[np.ndarray]):
+    @property
+    def _is_v1_tokenizer(self) -> bool:
+        t = (self.speech_tokenizer.get_model_type()
+             if self.speech_tokenizer is not None else (self.tokenizer_type or ""))
+        return "25hz" in (t or "")
+
+    def _decode_wavs(self, codes_list: List[np.ndarray], vcp: Optional[dict] = None):
+        sr = self.speech_tokenizer.get_output_sample_rate()
+        if self._is_v1_tokenizer:
+            # 25Hz DiT+BigVGAN decode needs (codes, x-vector, ref mel); decode
+            # per sample — ref mels are ragged and clone batches are small.
+            if vcp is None or vcp.get("x_vector") is None:
+                raise ValueError(
+                    "the 25Hz tokenizer decodes with x-vector + reference-mel "
+                    "conditioning; use the voice-clone path (ref audio or a "
+                    "VoiceClonePromptItem with x_vector/ref_mel set)")
+            wavs = []
+            for i, c in enumerate(codes_list):
+                c = np.asarray(c)
+                c1 = c[:, 0] if c.ndim == 2 else c  # single-codebook stream
+                out = self.speech_tokenizer.decode(
+                    [c1], [np.asarray(vcp["x_vector"][i])],
+                    [np.asarray(vcp["ref_mel"][i])])
+                wavs.append(out.audio_values[0])
+            return wavs, sr
         out = self.speech_tokenizer.decode([{"audio_codes": c} for c in codes_list])
-        return out.audio_values, self.speech_tokenizer.get_output_sample_rate()
+        return out.audio_values, sr
 
     # --------------------------------------------------------- custom voice
 
@@ -291,11 +383,20 @@ class Qwen3TTSModel:
             raise ValueError("Batch size mismatch in voice-clone prompt inputs")
 
         normalized = normalize_audio_inputs(audios)
-        enc = self.speech_tokenizer.encode([(w, s) for w, s in normalized])
+        if self._is_v1_tokenizer:
+            in_sr = self.speech_tokenizer.get_input_sample_rate()
+            wavs_in = [resample(w, s, in_sr) for w, s in normalized]
+            enc = self.speech_tokenizer.encode(wavs_in)
+            xvectors, ref_mels = enc.xvectors, enc.ref_mels
+        else:
+            enc = self.speech_tokenizer.encode([(w, s) for w, s in normalized])
+            xvectors = ref_mels = [None] * n
 
         items = []
         for i, ((wav, sr), code, rtext, xvec) in enumerate(
                 zip(normalized, enc.audio_codes, ref_texts, xvecs)):
+            if np.ndim(code) == 1:  # v1 single-codebook stream -> (T, 1)
+                code = np.asarray(code).reshape(-1, 1)
             if not xvec and not rtext:
                 raise ValueError(f"ref_text required in ICL mode (index {i})")
             wav24 = resample(wav, sr, self.speaker_encoder_sample_rate)
@@ -303,17 +404,22 @@ class Qwen3TTSModel:
             items.append(VoiceClonePromptItem(
                 ref_code=None if xvec else code,
                 ref_spk_embedding=spk,
-                x_vector_only_mode=bool(xvec), icl_mode=not xvec, ref_text=rtext))
+                x_vector_only_mode=bool(xvec), icl_mode=not xvec, ref_text=rtext,
+                x_vector=xvectors[i], ref_mel=ref_mels[i]))
         return items
 
     @staticmethod
     def _prompt_items_to_dict(items: List[VoiceClonePromptItem]) -> Dict[str, Any]:
-        return {
+        d = {
             "ref_code": [it.ref_code for it in items],
             "ref_spk_embedding": [it.ref_spk_embedding for it in items],
             "x_vector_only_mode": [it.x_vector_only_mode for it in items],
             "icl_mode": [it.icl_mode for it in items],
         }
+        if any(it.x_vector is not None for it in items):
+            d["x_vector"] = [it.x_vector for it in items]
+            d["ref_mel"] = [it.ref_mel for it in items]
+        return d
 
     def generate_voice_clone(self, text, language=None, ref_audio=None,
                              ref_text=None, x_vector_only_mode=False,
@@ -362,11 +468,12 @@ class Qwen3TTSModel:
         codes_for_decode = []
         for i, c in enumerate(codes):
             if ref_codes is not None and ref_codes[i] is not None:
-                codes_for_decode.append(
-                    np.concatenate([np.asarray(ref_codes[i]), c], axis=0))
+                rc = np.asarray(ref_codes[i]).reshape(-1, c.shape[-1]) \
+                    if np.ndim(ref_codes[i]) != np.ndim(c) else np.asarray(ref_codes[i])
+                codes_for_decode.append(np.concatenate([rc, c], axis=0))
             else:
                 codes_for_decode.append(c)
-        wavs_all, fs = self._decode_wavs(codes_for_decode)
+        wavs_all, fs = self._decode_wavs(codes_for_decode, vcp)
 
         wavs_out = []
         for i, wav in enumerate(wavs_all):

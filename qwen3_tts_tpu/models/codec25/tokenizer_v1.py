@@ -169,7 +169,7 @@ class Qwen3TTSTokenizerV1:
             else:
                 norm = sox_norm_minus6db(np.asarray(wav, np.float32))
                 ref_mel = bigvgan_ref_mel(norm)
-                xvec = np.zeros((192,), np.float32)
+                xvec = np.zeros((self.config.dit.enc_emb_dim,), np.float32)
             xvecs.append(np.asarray(xvec, np.float32))
             ref_mels.append(np.asarray(ref_mel, np.float32))
         return EncoderV1Output(codes_list, xvecs, ref_mels)
