@@ -145,11 +145,15 @@ def quantize_stack_params(layers: dict, names=("q_proj", "k_proj", "v_proj",
 
 def _layer(spec: DecoderSpec, lw: dict, x: jax.Array, cos: jax.Array, sin: jax.Array,
            mask: jax.Array | None, k_full: jax.Array | None, v_full: jax.Array | None,
-           write_index: jax.Array | None):
+           write_index: jax.Array | None, flash_pad_mask: jax.Array | None = None,
+           flash_interpret: bool = False):
     """Single decoder layer. If k_full/v_full given (cache buffers (B,S,Hkv,D)),
     new k/v are written at write_index and attention runs over the buffers;
     otherwise attention is over the local sequence (prefill-without-cache).
-    Returns (y, k_out, v_out)."""
+
+    flash_pad_mask (B, T): when set, attention runs through the Pallas flash
+    kernel over the LOCAL k/v (valid only for prefill at cache index 0, where
+    local attention equals cached attention). Returns (y, k_out, v_out)."""
     b, t, _ = x.shape
 
     def norm(z, which):
@@ -179,7 +183,20 @@ def _layer(spec: DecoderSpec, lw: dict, x: jax.Array, cos: jax.Array, sin: jax.A
     if k_full is not None:
         k_out = jax.lax.dynamic_update_slice(k_full, k.astype(k_full.dtype), (0, write_index, 0, 0))
         v_out = jax.lax.dynamic_update_slice(v_full, v.astype(v_full.dtype), (0, write_index, 0, 0))
-        attn = gqa_attention(q, k_out, v_out, mask, spec.scaling)
+        if flash_pad_mask is not None:
+            from ..ops.flash_attention import flash_prefill_attention
+
+            attn = flash_prefill_attention(q, k, v, flash_pad_mask, spec.scaling,
+                                           spec.sliding_window,
+                                           interpret=flash_interpret)
+        else:
+            attn = gqa_attention(q, k_out, v_out, mask, spec.scaling)
+    elif flash_pad_mask is not None:
+        from ..ops.flash_attention import flash_prefill_attention
+
+        k_out, v_out = k, v
+        attn = flash_prefill_attention(q, k, v, flash_pad_mask, spec.scaling,
+                                       spec.sliding_window, interpret=flash_interpret)
     else:
         k_out, v_out = k, v
         attn = gqa_attention(q, k, v, mask, spec.scaling)
@@ -212,12 +229,16 @@ def _split_layer_weights(params: dict) -> dict:
 
 def stack_forward(spec: DecoderSpec, params: dict, x: jax.Array, cos: jax.Array,
                   sin: jax.Array, mask: jax.Array | None,
-                  cache: KVCache | None = None) -> tuple[jax.Array, KVCache | None]:
+                  cache: KVCache | None = None,
+                  flash_pad_mask: jax.Array | None = None,
+                  flash_interpret: bool = False) -> tuple[jax.Array, KVCache | None]:
     """Run the full stack. With a cache, k/v of this call are written at
     cache.index and attention covers the cache buffers (prefill into cache or
     single/multi-token decode). Without, plain full-sequence forward.
 
     x: (B, T, H); cos/sin: (B, T, D); mask: (B,1,T,S) bool, S = cache len or T.
+    flash_pad_mask (B, T): route attention through the Pallas flash-prefill
+    kernel (only correct when this call IS the prefill, cache.index == 0).
     """
     layer_ws = _split_layer_weights(params)
 
@@ -228,7 +249,8 @@ def stack_forward(spec: DecoderSpec, params: dict, x: jax.Array, cos: jax.Array,
 
     if cache is None:
         def body(h, lw):
-            h, _, _ = _layer(spec, lw, h, cos, sin, mask, None, None, None)
+            h, _, _ = _layer(spec, lw, h, cos, sin, mask, None, None, None,
+                             flash_pad_mask, flash_interpret)
             return h, None
 
         x, _ = jax.lax.scan(body, x, layer_ws)
@@ -238,7 +260,8 @@ def stack_forward(spec: DecoderSpec, params: dict, x: jax.Array, cos: jax.Array,
 
     def body(h, xs):
         lw, ck, cv = xs
-        h, ck, cv = _layer(spec, lw, h, cos, sin, mask, ck, cv, idx)
+        h, ck, cv = _layer(spec, lw, h, cos, sin, mask, ck, cv, idx,
+                           flash_pad_mask, flash_interpret)
         return h, (ck, cv)
 
     x, (k_new, v_new) = jax.lax.scan(body, x, (layer_ws, cache.k, cache.v))

@@ -11,8 +11,10 @@ via a gradio queue — whole-request serialization). TPU-friendly design:
   prompt that predate the join are masked per-slot; cache slots ahead of the
   index hold garbage that is overwritten before it ever becomes visible
   (decode writes slot i before any query reads it).
-- Admission prefill is a fixed-shape program (prompt padded to the full
-  cache width) — one compilation, reused for every join.
+- Admission prefill is bucketed: the prompt is padded to the next
+  power-of-two window ending at the shared index and prefilled through a
+  per-width jitted program, so short prompts do not pay a full-cache-width
+  forward (a handful of compilations total, reused forever).
 - Per-slot `step` vectors (see TalkerState) let slots sit at different
   generation depths inside one jitted burst.
 - When the batch drains or the cache fills, the state resets to index 0.
@@ -68,6 +70,8 @@ class ContinuousBatcher:
         self.trailing_cap = 256  # max trailing-text length per request
 
         self._queue: "queue.Queue[_Request]" = queue.Queue()
+        self._backlog: list[_Request] = []  # deferred until the batch drains
+        self._join_fns: dict[int, object] = {}
         self._active: dict[int, _Request] = {}
         self._lock = threading.Lock()
         self._wake = threading.Event()
@@ -126,29 +130,44 @@ class ContinuousBatcher:
                                   self.dtype)
         self.pad_embed = jnp.zeros((1, self.cfg.hidden_size), self.dtype)
 
-    @functools.cached_property
-    def _join_fn(self):
+    def _bucket(self, t: int) -> int:
+        """Smallest power-of-two window >= t (min 32, capped at cache_len)."""
+        w = 32
+        while w < t:
+            w *= 2
+        return min(w, self.cache_len)
+
+    def _join_fn(self, w: int):
+        """Per-window-width jitted join program (compiled once per bucket)."""
+        if w in self._join_fns:
+            return self._join_fns[w]
         spec, cfg = self.spec, self.cfg
         s_max = self.cache_len
+        # opt-in like generate_frames: XLA's masked path wins at these widths
+        use_flash = False
 
         @jax.jit
         def join(params, state: TalkerState, pad_mask, trailing_buf,
-                 embeds_full, row_mask, trailing_row, pad_embed, slot, key):
-            """Prefill one request (right-aligned at state.cache.index into a
-            fixed-width buffer) and install it into `slot`."""
+                 embeds_w, row_mask_w, trailing_row, pad_embed, slot, key):
+            """Prefill one request over a w-wide window ending exactly at
+            state.cache.index, install its KV rows into `slot`."""
             inv = make_inv_freq(spec.head_dim, spec.rope_theta)
-            positions = jnp.maximum(jnp.cumsum(row_mask, axis=-1) - 1, 0)
-            cos, sin = rope_cos_sin(positions, inv, embeds_full.dtype)
-            row_cache = KVCache.create(spec.num_layers, 1, s_max,
+            positions = jnp.maximum(jnp.cumsum(row_mask_w, axis=-1) - 1, 0)
+            cos, sin = rope_cos_sin(positions, inv, embeds_w.dtype)
+            row_cache = KVCache.create(spec.num_layers, 1, w,
                                        spec.num_kv_heads, spec.head_dim,
                                        dtype=self.dtype)
-            mask = cache_attention_mask(row_mask, s_max, row_cache.index, s_max,
-                                        spec.sliding_window)
-            h, row_cache = stack_forward(spec, params["layers"], embeds_full,
-                                         cos, sin, mask, row_cache)
+            if use_flash:
+                h, row_cache = stack_forward(spec, params["layers"], embeds_w,
+                                             cos, sin, None, row_cache,
+                                             flash_pad_mask=row_mask_w)
+            else:
+                mask = cache_attention_mask(row_mask_w, w, row_cache.index, w,
+                                            spec.sliding_window)
+                h, row_cache = stack_forward(spec, params["layers"], embeds_w,
+                                             cos, sin, mask, row_cache)
             idx = state.cache.index
-            last_h = jax.lax.dynamic_index_in_dim(h, idx - 1, axis=1,
-                                                  keepdims=False)[0]  # (H,)
+            last_h = h[0, -1]  # window ends at the shared index
             from ..models.talker import _head
 
             logits = _head(params, "codec_head", last_h[None]).astype(jnp.float32)
@@ -158,11 +177,16 @@ class ContinuousBatcher:
                                   cfg.codec_eos_token_id, jnp.ones((1,), bool))
             token0 = sample_token(sub, proc, self.sampling.do_sample)[0]
 
-            n_valid = jnp.sum(row_mask)
+            n_valid = jnp.sum(row_mask_w)
+            start = idx - w  # guaranteed >= 0 by admission (index advance)
+            new_k = jax.lax.dynamic_update_slice(
+                state.cache.k, row_cache.k.astype(state.cache.k.dtype),
+                (0, slot, start, 0, 0))
+            new_v = jax.lax.dynamic_update_slice(
+                state.cache.v, row_cache.v.astype(state.cache.v.dtype),
+                (0, slot, start, 0, 0))
             new_state = TalkerState(
-                cache=state.cache._replace(
-                    k=state.cache.k.at[:, slot].set(row_cache.k[:, 0]),
-                    v=state.cache.v.at[:, slot].set(row_cache.v[:, 0])),
+                cache=state.cache._replace(k=new_k, v=new_v),
                 token0=state.token0.at[slot].set(token0),
                 past_hidden=state.past_hidden.at[slot].set(last_h),
                 seen=state.seen.at[slot].set(
@@ -178,6 +202,7 @@ class ContinuousBatcher:
             new_trailing = trailing_buf.at[slot].set(trailing_row)
             return new_state, new_pad_mask, new_trailing
 
+        self._join_fns[w] = join
         return join
 
     @functools.cached_property
@@ -201,29 +226,43 @@ class ContinuousBatcher:
     # --------------------------------------------------------------- worker
 
     def _admit(self):
-        while (len(self._active) < self.capacity and not self._queue.empty()
-               and int(self.state.cache.index) < self.cache_len - 2 * self.burst_frames):
-            req = self._queue.get()
-            free = [s for s in range(self.capacity) if s not in self._active]
-            slot = free[0]
+        decode_room = self.cache_len - 2 * self.burst_frames
+        while (len(self._active) < self.capacity
+               and (self._backlog or not self._queue.empty())
+               and int(self.state.cache.index) < decode_room):
+            req = self._backlog.pop(0) if self._backlog else self._queue.get()
             p = req.prompt
             t_p = p.inputs_embeds.shape[1]
+            if t_p >= decode_room:
+                req.future.set_exception(ValueError(
+                    f"prompt length {t_p} does not fit cache_len "
+                    f"{self.cache_len} (need < {decode_room})"))
+                continue
+            # cap the bucket at the decode-room bound so near-limit prompts
+            # still get a (one-off-shape) window instead of waiting forever
+            w = min(self._bucket(t_p), decode_room)
             idx = int(self.state.cache.index)
-            if t_p > idx:
-                # not enough room at the left: advance index by re-aligning
-                # (fresh batches start at index 1; pad the whole batch state)
-                needed = t_p - idx
+            if w > idx:
+                # a w-wide window must fit left of the index: advance it.
+                # With live slots this inserts unwritten gap columns — mark
+                # them invalid for every row so decode never attends them.
+                if self._active and w > idx + 64:
+                    # too disruptive mid-batch: defer until the batch drains
+                    self._backlog.append(req)
+                    break
+                needed = w - idx
                 self.state = self.state._replace(
                     cache=self.state.cache._replace(
                         index=self.state.cache.index + needed))
+                self.pad_mask = self.pad_mask.at[:, idx:idx + needed].set(0)
                 idx += needed
-            embeds_full = jnp.zeros((1, self.cache_len, self.cfg.hidden_size),
-                                    self.dtype)
-            embeds_full = embeds_full.at[:, idx - t_p: idx].set(
-                p.inputs_embeds.astype(self.dtype))
-            row_mask = jnp.zeros((1, self.cache_len), jnp.int32)
+            free = [s for s in range(self.capacity) if s not in self._active]
+            slot = free[0]
             n_valid = int(p.attention_mask.sum())
-            row_mask = row_mask.at[:, idx - n_valid: idx].set(1)
+            embeds_w = jnp.zeros((1, w, self.cfg.hidden_size), self.dtype)
+            embeds_w = embeds_w.at[:, w - t_p:].set(p.inputs_embeds.astype(self.dtype))
+            row_mask_w = jnp.zeros((1, w), jnp.int32)
+            row_mask_w = row_mask_w.at[:, w - n_valid:].set(1)
             trailing_row = jnp.zeros((self.trailing_cap, self.cfg.hidden_size),
                                      self.dtype)
             t_tr = min(p.trailing_text_hidden.shape[1], self.trailing_cap)
@@ -237,9 +276,9 @@ class ContinuousBatcher:
             self.pad_embed = p.tts_pad_embed.astype(self.dtype)
 
             key = jax.random.PRNGKey(np.random.randint(0, 2**31))
-            self.state, self.pad_mask, self.trailing = self._join_fn(
+            self.state, self.pad_mask, self.trailing = self._join_fn(w)(
                 self.model.talker_params, self.state, self.pad_mask,
-                self.trailing, embeds_full, row_mask, trailing_row,
+                self.trailing, embeds_w, row_mask_w, trailing_row,
                 self.pad_embed, slot, key)
             req.slot = slot
             self._active[slot] = req

@@ -50,3 +50,54 @@ def test_flash_gqa_grouping():
 if __name__ == "__main__":
     import sys
     sys.exit(pytest.main([__file__, "-q", "-x"]))
+
+
+def test_stack_prefill_flash_wiring_matches_xla():
+    """stack_forward with flash_pad_mask (prefill at cache index 0) must
+    match the cached-mask XLA path bit-for-tolerance."""
+    from qwen3_tts_tpu.nn.cache import KVCache
+    from qwen3_tts_tpu.nn.rope import make_inv_freq, rope_cos_sin
+    from qwen3_tts_tpu.nn.transformer import (DecoderSpec, cache_attention_mask,
+                                              init_stack_params, stack_forward)
+
+    spec = DecoderSpec(hidden_size=64, intermediate_size=128, num_layers=2,
+                       num_heads=4, num_kv_heads=2, head_dim=64)
+    params = init_stack_params(jax.random.PRNGKey(0), spec)
+    b, t, extra = 2, 160, 8
+    cache_len = t + extra
+    x = jax.random.normal(jax.random.PRNGKey(1), (b, t, spec.hidden_size),
+                          jnp.float32)
+    pad = np.ones((b, t), np.int32)
+    pad[1, :24] = 0  # left-padded row
+    pad = jnp.asarray(pad)
+
+    positions = jnp.maximum(jnp.cumsum(pad, axis=-1) - 1, 0)
+    inv = make_inv_freq(spec.head_dim, spec.rope_theta)
+    cos, sin = rope_cos_sin(positions, inv, x.dtype)
+
+    def run(flash):
+        cache = KVCache.create(spec.num_layers, b, cache_len, spec.num_kv_heads,
+                               spec.head_dim, dtype=x.dtype)
+        if flash:
+            return stack_forward(spec, params, x, cos, sin, None, cache,
+                                 flash_pad_mask=pad, flash_interpret=True)
+        pad_full = jnp.concatenate(
+            [pad, jnp.ones((b, cache_len - t), pad.dtype)], axis=-1)
+        mask = cache_attention_mask(pad_full, t, cache.index, cache_len,
+                                    spec.sliding_window)
+        return stack_forward(spec, params, x, cos, sin, mask, cache)
+
+    want_h, want_cache = run(False)
+    got_h, got_cache = run(True)
+    # padded rows of the left-padded sample are don't-care
+    np.testing.assert_allclose(np.asarray(got_h[0]), np.asarray(want_h[0]),
+                               atol=3e-5)
+    np.testing.assert_allclose(np.asarray(got_h[1, 24:]),
+                               np.asarray(want_h[1, 24:]), atol=3e-5)
+    # left-padded slots hold don't-care values (never attended later);
+    # compare the valid slots only
+    np.testing.assert_allclose(np.asarray(got_cache.k[:, 0, :t]),
+                               np.asarray(want_cache.k[:, 0, :t]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_cache.k[:, 1, 24:t]),
+                               np.asarray(want_cache.k[:, 1, 24:t]), atol=1e-5)
+    assert int(got_cache.index) == int(want_cache.index) == t

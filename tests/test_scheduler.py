@@ -82,3 +82,24 @@ def test_server_with_continuous_batching(tmp_path_factory):
     finally:
         httpd.shutdown()
         app.batcher.shutdown()
+
+
+def test_bucketed_admission_mixed_lengths(batcher):
+    """Prompts landing in different buckets batch together; an over-long
+    prompt is rejected cleanly instead of wedging the batch."""
+    import concurrent.futures
+
+    # streaming-layout prompts are tiny; an instruct prefix grows the prompt
+    # into a bigger admission bucket
+    short = batcher.submit("hi", speaker="vivian", max_frames=4)
+    medium = batcher.submit("text", speaker="vivian", max_frames=4,
+                            instruct="speak slowly " * 5)
+    for fut in (short, medium):
+        wav, sr = fut.result(timeout=300)
+        assert wav.ndim == 1
+    assert len(batcher._join_fns) >= 2  # at least two bucket programs
+
+    too_long = batcher.submit("hi", speaker="vivian", max_frames=4,
+                              instruct="x" * 400)
+    with pytest.raises(ValueError, match="does not fit"):
+        too_long.result(timeout=120)
