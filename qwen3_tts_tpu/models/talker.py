@@ -131,9 +131,83 @@ def init_talker_params(key: jax.Array, cfg: TalkerConfig, dtype=jnp.float32) -> 
     }
 
 
+def pack_talker_params(params: dict) -> dict:
+    """Repack the (fused + int8-quantized) code-predictor weights into the
+    uniform tile layout consumed by the fused Pallas micro-step kernel
+    (ops/subtalker_step.py). Opt-in: call after `fuse_talker_params` +
+    `quantize_talker_params`; `code_predictor_generate` switches to the
+    kernel automatically when the packed weights are present. On CPU the
+    kernel runs in Pallas interpret mode (tests)."""
+    from ..ops.subtalker_step import pack_predictor_weights
+
+    p = dict(params)
+    cp = dict(params["code_predictor"])
+    cp["packed"] = pack_predictor_weights(cp["layers"], cp["layers"]["norm"])
+    p["code_predictor"] = cp
+    return p
+
+
 # ---------------------------------------------------------------------------
 # Code predictor: 15 sequential micro-forwards fused into the decode step
 # ---------------------------------------------------------------------------
+
+
+def _code_predictor_generate_fused(
+    params: dict,
+    cfg: TalkerConfig,
+    past_hidden: jax.Array,
+    first_embed: jax.Array,
+    key: jax.Array,
+    sampling: SamplingConfig,
+) -> tuple[jax.Array, jax.Array]:
+    """`code_predictor_generate` through the fused Pallas micro-step kernel.
+
+    Mathematically identical to the XLA path: the 2-token prefill becomes two
+    sequential single-token steps (causal attention over a cache makes the two
+    factorizations exact-equal up to matmul accumulation order)."""
+    from ..ops.subtalker_step import CACHE_S, fused_subtalker_microstep
+
+    cp_cfg = cfg.code_predictor
+    spec = predictor_spec(cp_cfg)
+    p = params["code_predictor"]
+    packed = p["packed"]
+    interpret = jax.default_backend() == "cpu"
+    n_steps = cfg.num_code_groups - 1
+    b = past_hidden.shape[0]
+    dtype = jnp.bfloat16
+
+    inv_freq = make_inv_freq(spec.head_dim, spec.rope_theta)
+    kv_shape = (spec.num_layers, b, spec.num_kv_heads, CACHE_S, spec.head_dim)
+    kc = jnp.zeros(kv_shape, dtype)
+    vc = jnp.zeros(kv_shape, dtype)
+
+    def mtp_proj(x):
+        return linear(x, p["small_to_mtp"], p["small_to_mtp_b"])
+
+    def micro(x, pos, kc, vc):
+        cos, sin = rope_cos_sin(jnp.full((b, 1), pos, jnp.int32), inv_freq, dtype)
+        return fused_subtalker_microstep(
+            packed, x.astype(dtype), cos[:, 0], sin[:, 0], kc, vc,
+            jnp.int32(pos), num_layers=spec.num_layers,
+            eps=spec.rms_norm_eps, interpret=interpret)
+
+    _, kc, vc = micro(mtp_proj(past_hidden), 0, kc, vc)
+    last_h, kc, vc = micro(mtp_proj(first_embed), 1, kc, vc)
+
+    codes = []
+    embed_sum = jnp.zeros_like(past_hidden)
+    for step in range(n_steps):
+        logits = _head(p, "lm_heads", last_h.astype(past_hidden.dtype), step)
+        key, sub = jax.random.split(key)
+        proc = process_logits(logits, sampling)
+        tok = sample_token(sub, proc, sampling.do_sample)
+        codes.append(tok)
+        tok_embed = embed(p["codec_embeddings"][step], tok)
+        embed_sum = embed_sum + tok_embed
+        if step < n_steps - 1:
+            last_h, kc, vc = micro(mtp_proj(tok_embed), step + 2, kc, vc)
+
+    return jnp.stack(codes, axis=1).astype(jnp.int32), embed_sum
 
 
 def code_predictor_generate(
@@ -150,6 +224,10 @@ def code_predictor_generate(
     Returns (codes (B, num_code_groups-1) int32,
              embed_sum (B, H_talker) = sum of the 15 code-group embeddings).
     """
+    if "packed" in params["code_predictor"]:
+        return _code_predictor_generate_fused(
+            params, cfg, past_hidden, first_embed, key, sampling)
+
     cp_cfg = cfg.code_predictor
     spec = predictor_spec(cp_cfg)
     p = params["code_predictor"]
@@ -224,9 +302,13 @@ def talker_prefill(
     key: jax.Array,
     sampling: SamplingConfig,
     suppress_mask: jax.Array,
+    use_flash: bool = False,
 ) -> TalkerState:
     """Prompt forward + first codebook-0 sample (reference: HF generate's
-    first forward over inputs_embeds, modeling_qwen3_tts.py:2272-2278)."""
+    first forward over inputs_embeds, modeling_qwen3_tts.py:2272-2278).
+
+    use_flash routes prefill attention through the Pallas flash kernel (only
+    valid here, where cache.index == 0 so local attention equals cached)."""
     spec = talker_spec(cfg)
     b, t, _ = inputs_embeds.shape
     inv_freq = make_inv_freq(spec.head_dim, spec.rope_theta)
@@ -240,7 +322,8 @@ def talker_prefill(
         [attention_mask, jnp.ones((b, cache.max_len - t), attention_mask.dtype)], axis=-1)
     mask = cache_attention_mask(pad_full, t, cache.index, cache.max_len,
                                 spec.sliding_window)
-    h, cache = stack_forward(spec, params["layers"], inputs_embeds, cos, sin, mask, cache)
+    h, cache = stack_forward(spec, params["layers"], inputs_embeds, cos, sin, mask, cache,
+                             flash_pad_mask=attention_mask if use_flash else None)
 
     last_h = h[:, -1]                      # (B, H) — right-aligned batch
     logits = _head(params, "codec_head", last_h).astype(jnp.float32)

@@ -1,0 +1,101 @@
+"""Parity tests for the fused Pallas sub-talker micro-step kernel.
+
+The kernel hard-codes the production code-predictor geometry (1024 hidden,
+3072 intermediate, 16q/8kv heads, d128 — reference
+configuration_qwen3_tts.py:70-256), so these tests run the predictor at real
+dims (in Pallas interpret mode on CPU) around a shrunken talker.
+"""
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from qwen3_tts_tpu.config import CodePredictorConfig, TalkerConfig
+from qwen3_tts_tpu.models.talker import (code_predictor_generate,
+                                         fuse_talker_params, init_talker_params,
+                                         pack_talker_params,
+                                         quantize_talker_params)
+from qwen3_tts_tpu.nn.sampling import SamplingConfig
+
+
+def _cfg():
+    cp = CodePredictorConfig(vocab_size=96, num_code_groups=16)
+    return TalkerConfig(
+        vocab_size=256, hidden_size=64, intermediate_size=96,
+        num_hidden_layers=1, num_attention_heads=2, num_key_value_heads=1,
+        head_dim=32, text_vocab_size=64, text_hidden_size=48,
+        num_code_groups=16, codec_eos_token_id=90, code_predictor=cp)
+
+
+@pytest.fixture(scope="module")
+def quantized_params():
+    cfg = _cfg()
+    params = init_talker_params(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
+    params = fuse_talker_params(params)
+    params = quantize_talker_params(params)
+    return cfg, params
+
+
+def test_fused_microstep_matches_xla_stack(quantized_params):
+    """Full nested-AR generate: fused kernel path vs the XLA scan path on the
+    same int8 weights, greedy sampling -> identical codes, close hiddens."""
+    cfg, params = quantized_params
+    packed_params = pack_talker_params(params)
+
+    b = 2
+    key = jax.random.PRNGKey(7)
+    k1, k2 = jax.random.split(key)
+    past_hidden = (jax.random.normal(k1, (b, cfg.hidden_size)) * 0.5).astype(jnp.bfloat16)
+    first_embed = (jax.random.normal(k2, (b, cfg.hidden_size)) * 0.5).astype(jnp.bfloat16)
+    sampling = SamplingConfig(do_sample=False)
+
+    codes_ref, sum_ref = code_predictor_generate(
+        params, cfg, past_hidden, first_embed, jax.random.PRNGKey(3), sampling)
+    codes_fused, sum_fused = code_predictor_generate(
+        packed_params, cfg, past_hidden, first_embed, jax.random.PRNGKey(3), sampling)
+
+    assert codes_fused.shape == (b, cfg.num_code_groups - 1)
+    match = (codes_ref == codes_fused).mean()
+    assert match == 1.0, f"greedy code mismatch: {match}\n{codes_ref}\n{codes_fused}"
+    err = jnp.max(jnp.abs(sum_ref.astype(jnp.float32) - sum_fused.astype(jnp.float32)))
+    scale = jnp.max(jnp.abs(sum_ref.astype(jnp.float32))) + 1e-6
+    assert err / scale < 0.05, f"embed_sum mismatch: rel {err / scale}"
+
+
+def test_fused_decode_step_end_to_end(quantized_params):
+    """talker_decode_step with packed params runs and returns valid frames."""
+    from qwen3_tts_tpu.models.talker import (TalkerState, talker_decode_step,
+                                             talker_spec)
+    from qwen3_tts_tpu.nn.cache import KVCache
+    from qwen3_tts_tpu.nn.sampling import make_suppress_mask
+
+    cfg, params = quantized_params
+    packed_params = pack_talker_params(params)
+    spec = talker_spec(cfg)
+    b, s_max = 2, 16
+
+    cache = KVCache.create(spec.num_layers, b, s_max, spec.num_kv_heads,
+                           spec.head_dim, dtype=jnp.bfloat16)
+    cache = cache._replace(index=jnp.int32(4))
+    state = TalkerState(
+        cache=cache,
+        token0=jnp.array([5, 9], jnp.int32),
+        past_hidden=jnp.zeros((b, cfg.hidden_size), jnp.bfloat16),
+        seen=jnp.zeros((b, cfg.vocab_size), bool),
+        done=jnp.zeros((b,), bool),
+        key=jax.random.PRNGKey(0),
+        step=jnp.zeros((b,), jnp.int32),
+        num_pads=jnp.zeros((b,), jnp.int32),
+    )
+    trailing = jnp.zeros((b, 3, cfg.hidden_size), jnp.bfloat16)
+    pad_embed = jnp.zeros((1, cfg.hidden_size), jnp.bfloat16)
+    pad_mask = jnp.ones((b, s_max), jnp.int32)
+    sampling = SamplingConfig(do_sample=False)
+    suppress = make_suppress_mask(cfg.vocab_size, 8, (cfg.codec_eos_token_id,))
+
+    new_state, frame, _ = talker_decode_step(
+        packed_params, cfg, state, trailing, pad_embed, pad_mask,
+        sampling, sampling, suppress)
+    assert frame.shape == (b, cfg.num_code_groups)
+    assert (frame[:, 1:] >= 0).all() and (frame[:, 1:] < cfg.code_predictor.vocab_size).all()
+    assert int(new_state.cache.index) == 5
