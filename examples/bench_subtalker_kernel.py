@@ -10,13 +10,15 @@ full `talker_decode_step` (talker + sub-talker) and the isolated
 Usage:  python examples/bench_subtalker_kernel.py [batch ...]
 
 Measured (1x TPU v5e, this script, 32-frame fori_loop, best of 3):
-  b=1   cp-only   xla-int8 3.244 ms/frame   pallas 3.073 ms/frame
-  b=1   full-step xla-int8 6.502 ms/frame   pallas 6.396 ms/frame
+  b=1   cp-only   xla-int8  3.244 ms/frame   pallas  3.073 ms/frame
+  b=1   full-step xla-int8  6.502 ms/frame   pallas  6.396 ms/frame
+  b=32  cp-only   xla-int8  5.004 ms/frame   pallas  4.090 ms/frame (-18%)
+  b=32  full-step xla-int8 20.650 ms/frame   pallas 19.758 ms/frame
 The kernel streams the full predictor stack (75 MB int8) per micro-step at
 the DMA floor, but 16 separate pallas dispatches per frame plus the XLA-side
-lm_head/sampling glue leave ~2x headroom vs the 1.4 ms bandwidth bound; a
-single-dispatch megakernel (lm_heads + gumbel-top-k sampling in-kernel) is
-the identified next step.
+lm_head/sampling glue leave ~2x headroom (b=1) vs the 1.4 ms bandwidth
+bound; a single-dispatch megakernel (lm_heads + gumbel-top-k sampling
+in-kernel) is the identified next step.
 """
 
 import os

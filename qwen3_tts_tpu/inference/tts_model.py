@@ -155,13 +155,21 @@ class Qwen3TTSModel:
             else jnp.asarray(x), talker_params)
         # fuse qkv + gate/up (semantics-preserving, fewer small matmuls);
         # pass fuse=False to keep the HF-exportable layout (finetuning)
-        from ..models.talker import fuse_talker_params, quantize_talker_params
+        from ..models.talker import (fuse_talker_params, pack_talker_params,
+                                     quantize_talker_params)
 
         if fuse:
             talker_params = jax.jit(fuse_talker_params)(talker_params)
-        if quantization == "int8":
+        if quantization in ("int8", "int8-kernel"):
             # weight-only int8: ~1.5x faster decode at b=1 on v5e
             talker_params = jax.jit(quantize_talker_params)(talker_params)
+            if quantization == "int8-kernel":
+                # also route the sub-talker through the fused Pallas
+                # micro-step kernel (HW-validated: -18% cp-loop at b=32,
+                # see examples/bench_subtalker_kernel.py). Requires fuse.
+                if not fuse:
+                    raise ValueError("int8-kernel requires fuse=True")
+                talker_params = pack_talker_params(talker_params)
         elif quantization is not None:
             raise ValueError(f"unknown quantization {quantization!r}")
 

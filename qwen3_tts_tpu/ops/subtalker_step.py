@@ -61,9 +61,17 @@ def pack_predictor_weights(layers: dict, final_norm: jax.Array) -> dict:
     scales (L,1,4096), o_proj_q (L,2048,1024), gate_up_proj_q (L,1024,6144),
     down_proj_q (L,3072,1024), plus the norm vectors.
     """
+    if "qkv_proj_q" not in layers:
+        raise ValueError("packed sub-talker kernel requires fused + int8 "
+                         "weights (fuse_talker_params + quantize_talker_params)")
     L = layers["qkv_proj_q"].shape[0]
-    assert layers["qkv_proj_q"].shape == (L, H, QD + 2 * NKV * D)
-    assert layers["gate_up_proj_q"].shape == (L, H, 2 * INTER)
+    if (layers["qkv_proj_q"].shape != (L, H, QD + 2 * NKV * D)
+            or layers["gate_up_proj_q"].shape != (L, H, 2 * INTER)):
+        raise ValueError(
+            "packed sub-talker kernel supports the production code-predictor "
+            f"layout only (hidden {H}, intermediate {INTER}, {NQ}q/{NKV}kv "
+            f"heads, head_dim {D}); got qkv {layers['qkv_proj_q'].shape}, "
+            f"gate_up {layers['gate_up_proj_q'].shape}")
 
     qkv = layers["qkv_proj_q"]
     o = layers["o_proj_q"]

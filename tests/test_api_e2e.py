@@ -139,3 +139,17 @@ def test_streaming_matches_offline_chunking(custom_voice_model):
                                      jnp.asarray(frames.T[None].astype(np.int32)),
                                      chunk_size=step, left_context_size=3))[0]
     np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_int8_kernel_quantization_option(tmp_path_factory):
+    """`quantization="int8-kernel"` packs production-layout predictors for the
+    fused Pallas micro-step kernel; on the tiny test checkpoint (non-production
+    dims) it must fail with a clear layout error, not an opaque assert."""
+    d = build_checkpoint(str(tmp_path_factory.mktemp("cvq")), "custom_voice")
+    with pytest.raises(ValueError, match="production code-predictor layout"):
+        Qwen3TTSModel.from_pretrained(d, dtype=jnp.bfloat16,
+                                      load_processor=False,
+                                      quantization="int8-kernel")
+    with pytest.raises(ValueError, match="unknown quantization"):
+        Qwen3TTSModel.from_pretrained(d, load_processor=False,
+                                      quantization="int4")
