@@ -138,11 +138,16 @@ def pack_talker_params(params: dict) -> dict:
     `quantize_talker_params`; `code_predictor_generate` switches to the
     kernel automatically when the packed weights are present. On CPU the
     kernel runs in Pallas interpret mode (tests)."""
+    from ..ops.subtalker_frame import pack_frame_weights
     from ..ops.subtalker_step import pack_predictor_weights
 
     p = dict(params)
     cp = dict(params["code_predictor"])
     cp["packed"] = pack_predictor_weights(cp["layers"], cp["layers"]["norm"])
+    if "lm_heads_q" in cp:
+        # single-dispatch frame megakernel (used when batch <= MAX_B and
+        # subtalker top_p == 1.0; falls back to the micro-step kernel else)
+        cp["frame_packed"] = pack_frame_weights(cp, cp["lm_heads_q"].shape[2])
     p["code_predictor"] = cp
     return p
 
@@ -150,6 +155,53 @@ def pack_talker_params(params: dict) -> dict:
 # ---------------------------------------------------------------------------
 # Code predictor: 15 sequential micro-forwards fused into the decode step
 # ---------------------------------------------------------------------------
+
+
+def _code_predictor_generate_frame(
+    params: dict,
+    cfg: TalkerConfig,
+    past_hidden: jax.Array,
+    first_embed: jax.Array,
+    key: jax.Array,
+    sampling: SamplingConfig,
+) -> tuple[jax.Array, jax.Array]:
+    """Whole-frame sub-talker through the single-dispatch Pallas megakernel
+    (ops/subtalker_frame.py): 16 micro-forwards + 15 lm_head samples + the
+    codebook embedding gathers in one program. Sampling matches the XLA
+    pipeline draw-for-draw: the kernel consumes the exact gumbel noise
+    `jax.random.categorical` would draw from the same per-step subkeys."""
+    from ..ops.subtalker_frame import N_POS, N_STEPS, fused_subtalker_frame
+
+    cp_cfg = cfg.code_predictor
+    spec = predictor_spec(cp_cfg)
+    p = params["code_predictor"]
+    fp = p["frame_packed"]
+    interpret = jax.default_backend() == "cpu"
+    b = past_hidden.shape[0]
+    vocab = cp_cfg.vocab_size
+    vp = fp["heads_q"].shape[2]
+
+    inv_freq = make_inv_freq(spec.head_dim, spec.rope_theta)
+    cos, sin = rope_cos_sin(jnp.arange(N_POS)[None, :], inv_freq, jnp.bfloat16)
+    cos, sin = cos[0], sin[0]  # (N_POS, D)
+
+    if sampling.do_sample:
+        gs = []
+        for _ in range(N_STEPS):
+            key, sub = jax.random.split(key)
+            gs.append(jax.random.gumbel(sub, (b, vocab), jnp.float32))
+        gumbel = jnp.pad(jnp.stack(gs), ((0, 0), (0, 0), (0, vp - vocab)))
+    else:
+        gumbel = jnp.zeros((N_STEPS, b, vp), jnp.float32)
+
+    codes, esum = fused_subtalker_frame(
+        p["packed"], fp,
+        past_hidden.astype(jnp.bfloat16), first_embed.astype(jnp.bfloat16),
+        cos, sin, gumbel, num_layers=spec.num_layers,
+        eps=spec.rms_norm_eps, vocab=vocab, top_k=sampling.top_k,
+        temperature=sampling.temperature, do_sample=sampling.do_sample,
+        interpret=interpret)
+    return codes, esum.astype(past_hidden.dtype)
 
 
 def _code_predictor_generate_fused(
@@ -165,7 +217,14 @@ def _code_predictor_generate_fused(
     Mathematically identical to the XLA path: the 2-token prefill becomes two
     sequential single-token steps (causal attention over a cache makes the two
     factorizations exact-equal up to matmul accumulation order)."""
+    from ..ops.subtalker_frame import MAX_B
     from ..ops.subtalker_step import CACHE_S, fused_subtalker_microstep
+
+    if ("frame_packed" in params["code_predictor"]
+            and past_hidden.shape[0] <= MAX_B
+            and (not sampling.do_sample or sampling.top_p >= 1.0)):
+        return _code_predictor_generate_frame(
+            params, cfg, past_hidden, first_embed, key, sampling)
 
     cp_cfg = cfg.code_predictor
     spec = predictor_spec(cp_cfg)

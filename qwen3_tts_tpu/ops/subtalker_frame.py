@@ -1,0 +1,332 @@
+"""Single-dispatch Pallas TPU megakernel for the FULL per-frame sub-talker.
+
+The reference samples 15 residual codebooks per audio frame with 15
+sequential HF `generate` steps of a 5-layer mini decoder (reference
+modeling_qwen3_tts.py:1670-1686, 1249-1312). `ops/subtalker_step.py` fuses
+one micro-step; this kernel fuses the WHOLE frame — 16 micro-forwards,
+15 lm_head projections, exact top-k + gumbel-argmax sampling, and the
+per-codebook embedding gathers — into ONE pallas dispatch:
+
+  - the int8 weight tile stream (75 MB per micro-forward) runs continuously
+    across all 16 micro-forwards with double-buffered async copies, so no
+    dispatch gaps or per-call DMA pipeline restarts remain;
+  - the tiny KV cache (17 live positions) lives entirely in VMEM scratch
+    for the whole frame — zero HBM round-trips;
+  - lm_heads (int8) are prefetched one step ahead; the sampled token's
+    embedding row is gathered straight from HBM by dynamic-index DMA;
+  - sampling inside the kernel reproduces the XLA pipeline exactly for the
+    sub-talker's processor chain (temperature -> top-k -> categorical;
+    reference HF order, see nn/sampling.py): the top-k threshold is found
+    by a 40-step bisection on the row values (equivalent to masking with
+    the k-th largest value, `nn.sampling.apply_top_k` semantics), and
+    categorical sampling is the gumbel-argmax identity with the SAME
+    gumbel draw `jax.random.categorical` would make — callers pass
+    `jax.random.gumbel(sub, (b, vocab))` per step (zeros for greedy), so
+    sampled tokens match the XLA path draw-for-draw.
+
+Restrictions (callers fall back to the per-micro-step kernel otherwise):
+production predictor geometry (1024 hidden / 3072 inter / 16q/8kv / d128),
+batch <= MAX_B (VMEM-resident KV), subtalker top_p == 1.0 (the checkpoint
+default; nucleus filtering needs a sort we keep at the XLA level).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .subtalker_step import CACHE_S, D, H, INTER, NKV, NQ, NTILES, QD, TILE
+
+MAX_B = 4           # VMEM-resident KV bound (k+v: 2*L*B*NKV*CACHE_S*D bf16)
+N_STEPS = 15        # residual codebooks (num_code_groups - 1)
+N_POS = N_STEPS + 1  # micro-forwards per frame
+NEG = -1e9          # matches nn.sampling.NEG_INF
+_BISECT_ITERS = 40
+
+
+def pack_frame_weights(params_cp: dict, vocab_size: int) -> dict:
+    """Extra packing for the frame megakernel on top of
+    `subtalker_step.pack_predictor_weights` ("packed"): the mtp projection,
+    int8 lm_heads, and codebook embedding tables, vocab padded to the lane
+    width."""
+    vp = -(-vocab_size // 128) * 128
+    hq = jnp.asarray(params_cp["lm_heads_q"])          # (15, Hcp, V) int8
+    hs = jnp.asarray(params_cp["lm_heads_s"], jnp.float32)  # (15, 1, V)
+    emb = jnp.asarray(params_cp["codec_embeddings"])   # (15, V, Ht) bf16/f32
+    n, hcp, v = hq.shape
+    assert n == N_STEPS and hcp == H and v == vocab_size
+    assert emb.shape[0] == N_STEPS and emb.shape[1] == vocab_size
+    pad = vp - vocab_size
+    return {
+        "mtp_w": jnp.asarray(params_cp["small_to_mtp"], jnp.bfloat16),
+        "mtp_b": jnp.asarray(params_cp["small_to_mtp_b"], jnp.bfloat16)
+                    .reshape(1, H),  # bias is over the cp hidden (H)
+        "heads_q": jnp.pad(hq, ((0, 0), (0, 0), (0, pad))),
+        "heads_s": jnp.pad(hs[:, 0, :], ((0, 0), (0, pad))),
+        "embeds": jnp.pad(emb, ((0, 0), (0, pad), (0, 0)))
+                     .astype(jnp.bfloat16),
+    }
+
+
+def _rms(x, w, eps):
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(jnp.square(xf), axis=-1, keepdims=True)
+    normed = xf * jax.lax.rsqrt(var + eps)
+    return (w.astype(jnp.float32) * normed).astype(x.dtype)
+
+
+def _rope1(x, cos, sin):
+    """x: (B, h, D); cos/sin: (D,) float32 for one position."""
+    xf = x.astype(jnp.float32)
+    c = cos[None, None, :]
+    s = sin[None, None, :]
+    half = D // 2
+    rot = jnp.concatenate([-xf[..., half:], xf[..., :half]], axis=-1)
+    return (xf * c + rot * s).astype(x.dtype)
+
+
+def _frame_kernel(past_ref, first_ref, cos_ref, sin_ref, gumbel_ref,
+                  scales_ref, in_ln_ref, post_ln_ref, qn_ref, kn_ref, fn_ref,
+                  mtpw_ref, mtpb_ref, hs_ref,
+                  tiles_ref, hq_ref, emb_ref,
+                  codes_ref, esum_ref,
+                  wbuf, hbuf, kscr, vscr, erow, wsem, hsem, esem,
+                  *, num_layers: int, eps: float, vocab: int, top_k: int,
+                  temperature: float, do_sample: bool):
+    b, ht = past_ref.shape  # talker hidden width (mtp bridges ht -> H)
+    vp = gumbel_ref.shape[2]
+    scaling = D ** -0.5
+    per_fwd = num_layers * NTILES
+    total = N_POS * per_fwd
+
+    def wdma(i):
+        l, t = divmod(i % per_fwd, NTILES)
+        return pltpu.make_async_copy(tiles_ref.at[l, t], wbuf.at[i % 2],
+                                     wsem.at[i % 2])
+
+    def hdma(s):
+        return pltpu.make_async_copy(hq_ref.at[s], hbuf.at[s % 2],
+                                     hsem.at[s % 2])
+
+    wdma(0).start()
+    hdma(0).start()
+
+    tile_i = 0
+
+    def next_tile():
+        nonlocal tile_i
+        i = tile_i
+        if i + 1 < total:
+            wdma(i + 1).start()
+        wdma(i).wait()
+        tile_i += 1
+        return wbuf[i % 2].astype(jnp.bfloat16)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (b, vp), 1)
+    valid = lane < vocab
+    slot_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, CACHE_S, 1), 2)
+    span_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, CACHE_S), 2)
+    code_lane = jax.lax.broadcasted_iota(jnp.int32, (b, 128), 1)
+    row_iota2 = jax.lax.broadcasted_iota(jnp.int32, (b, 1), 0)
+
+    codes_vec = jnp.zeros((b, 128), jnp.int32)
+    esum = jnp.zeros((b, ht), jnp.float32)
+    xv = past_ref[:]  # (B, Ht) bf16
+
+    for pos in range(N_POS):
+        # ---- input projection (mtp) ----
+        x = jnp.dot(xv, mtpw_ref[:], preferred_element_type=jnp.float32)
+        x = (x + mtpb_ref[:].astype(jnp.float32)).astype(jnp.bfloat16)
+
+        cos = cos_ref[pos].astype(jnp.float32)
+        sin = sin_ref[pos].astype(jnp.float32)
+
+        for l in range(num_layers):
+            h = _rms(x, in_ln_ref[l], eps)
+
+            parts = []
+            for t in range(4):
+                w = next_tile()
+                y = jnp.dot(h, w, preferred_element_type=jnp.float32)
+                parts.append(y * scales_ref[l, t][None, :])
+            q = jnp.concatenate(parts[0:2], axis=-1).reshape(b, NQ, D)
+            k = parts[2].reshape(b, NKV, D)
+            v = parts[3].reshape(b, NKV, D)
+
+            q = _rms(q.astype(jnp.bfloat16), qn_ref[l], eps)
+            k = _rms(k.astype(jnp.bfloat16), kn_ref[l], eps)
+            q = _rope1(q, cos, sin)
+            k = _rope1(k, cos, sin)
+
+            # KV insert at slot `pos` (static) — VMEM-resident for the frame
+            kscr[l] = jnp.where(slot_iota == pos,
+                                k.astype(kscr.dtype)[:, :, None, :], kscr[l])
+            vscr[l] = jnp.where(slot_iota == pos,
+                                v.astype(vscr.dtype)[:, :, None, :], vscr[l])
+
+            g = NQ // NKV
+            qf = (q.astype(jnp.float32) * scaling).reshape(b * NKV, g, D)
+            kf = kscr[l].astype(jnp.float32).reshape(b * NKV, CACHE_S, D)
+            s = jax.lax.dot_general(
+                qf, kf, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)
+            s = jnp.where(span_iota <= pos, s, -2.0 ** 30)
+            p = jax.nn.softmax(s, axis=-1)
+            # zero out never-written cache slots: scratch is uninitialized and
+            # 0-weight x garbage must not produce NaN in the value matmul
+            vsafe = jnp.where(slot_iota <= pos, vscr[l], 0)
+            vf = vsafe.astype(jnp.float32).reshape(b * NKV, CACHE_S, D)
+            ctx = jax.lax.dot_general(
+                p, vf, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32).reshape(b, NQ, D)
+
+            acc = jnp.zeros((b, H), jnp.float32)
+            for t in range(2):
+                w = next_tile()
+                x_t = ctx[:, t * 8:(t + 1) * 8, :].reshape(b, TILE)
+                acc = acc + jnp.dot(x_t.astype(jnp.bfloat16), w,
+                                    preferred_element_type=jnp.float32)
+            x = x + (acc * scales_ref[l, 4][None, :]).astype(x.dtype)
+
+            h2 = _rms(x, post_ln_ref[l], eps)
+            gates = []
+            for t in range(3):
+                w = next_tile()
+                y = jnp.dot(h2, w, preferred_element_type=jnp.float32)
+                gates.append(y * scales_ref[l, 6 + t][None, :])
+            acts = []
+            for t in range(3):
+                w = next_tile()
+                u = jnp.dot(h2, w, preferred_element_type=jnp.float32)
+                u = u * scales_ref[l, 9 + t][None, :]
+                gg = gates[t]
+                acts.append((gg * jax.nn.sigmoid(gg) * u).astype(jnp.bfloat16))
+            macc = jnp.zeros((b, H), jnp.float32)
+            for t in range(3):
+                w = next_tile()
+                macc = macc + jnp.dot(acts[t], w,
+                                      preferred_element_type=jnp.float32)
+            x = x + (macc * scales_ref[l, 12][None, :]).astype(x.dtype)
+
+        last_h = _rms(x, fn_ref[0], eps)  # (B, H) bf16
+
+        if pos == 0:
+            xv = first_ref[:]
+            continue
+
+        step = pos - 1
+        # ---- lm_head[step] (prefetched int8, double-buffered) ----
+        if step + 1 < N_STEPS:
+            hdma(step + 1).start()
+        hdma(step).wait()
+        hw = hbuf[step % 2].astype(jnp.bfloat16)  # (H, Vp)
+        logits = jnp.dot(last_h, hw, preferred_element_type=jnp.float32)
+        logits = logits * hs_ref[step][None, :]
+        logits = jnp.where(valid, logits, NEG)
+
+        # ---- processor chain (nn/sampling.py parity) ----
+        if do_sample:
+            if temperature not in (0.0, 1.0):
+                logits = logits / temperature
+            if 0 < top_k < vocab:
+                # k-th-largest threshold by bisection on row values; the
+                # final mask equals apply_top_k's `logits < kth -> NEG`
+                vmasked = jnp.where(valid, logits, jnp.inf)
+                lo = jnp.min(vmasked, axis=-1, keepdims=True)
+                hi = jnp.max(jnp.where(valid, logits, -jnp.inf), axis=-1,
+                             keepdims=True)
+
+                def cnt_ge(t):
+                    return jnp.sum(((logits >= t) & valid).astype(jnp.int32),
+                                   axis=-1, keepdims=True)
+
+                for _ in range(_BISECT_ITERS):
+                    mid = 0.5 * (lo + hi)
+                    ge = cnt_ge(mid) >= top_k
+                    lo = jnp.where(ge, mid, lo)
+                    hi = jnp.where(ge, hi, mid)
+                kth = jnp.where(cnt_ge(hi) >= top_k, hi, lo)
+                logits = jnp.where(logits < kth, NEG, logits)
+
+        z = logits + gumbel_ref[step]
+        m = jnp.max(z, axis=-1, keepdims=True)
+        tok = jnp.min(jnp.where(z == m, lane, vp), axis=-1,
+                      keepdims=True)  # (B, 1) first argmax
+        codes_vec = jnp.where(code_lane == step, tok, codes_vec)
+
+        # ---- embedding row gathers (dynamic-index DMA per batch row) ----
+        row_copies = []
+        for bi in range(b):
+            t_bi = jnp.sum(jnp.where(row_iota2 == bi, tok, 0))
+            c = pltpu.make_async_copy(emb_ref.at[step, t_bi], erow.at[bi],
+                                      esem.at[bi])
+            c.start()
+            row_copies.append(c)
+        for c in row_copies:
+            c.wait()
+        rows = erow[:]  # (B, H) bf16
+        esum = esum + rows.astype(jnp.float32)
+        xv = rows
+
+    codes_ref[:] = codes_vec
+    esum_ref[:] = esum.astype(esum_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "num_layers", "eps", "vocab", "top_k", "temperature", "do_sample",
+    "interpret"))
+def fused_subtalker_frame(packed: dict, frame_packed: dict,
+                          past_hidden: jax.Array, first_embed: jax.Array,
+                          cos: jax.Array, sin: jax.Array, gumbel: jax.Array,
+                          num_layers: int = 5, eps: float = 1e-6,
+                          vocab: int = 2048, top_k: int = 50,
+                          temperature: float = 0.9, do_sample: bool = True,
+                          interpret: bool = False):
+    """All 15 residual-codebook samples for one frame in one dispatch.
+
+    past_hidden/first_embed: (B, H) bf16 — talker last hidden and the
+    codebook-0 embedding; cos/sin: (N_POS, D) RoPE rows for positions
+    0..15; gumbel: (N_STEPS, B, Vp) f32 — `jax.random.gumbel` draws
+    matching `jax.random.categorical`'s (zeros for greedy).
+    Returns (codes (B, N_STEPS) int32, embed_sum (B, H) f32).
+    """
+    b, ht = past_hidden.shape
+    assert b <= MAX_B, b
+    vp = frame_packed["heads_q"].shape[2]
+    assert gumbel.shape == (N_STEPS, b, vp), (gumbel.shape, vp)
+
+    kernel = functools.partial(
+        _frame_kernel, num_layers=num_layers, eps=eps, vocab=vocab,
+        top_k=top_k, temperature=temperature, do_sample=do_sample)
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    any_ = pl.BlockSpec(memory_space=pl.ANY)
+
+    codes, esum = pl.pallas_call(
+        kernel,
+        out_shape=[
+            jax.ShapeDtypeStruct((b, 128), jnp.int32),
+            jax.ShapeDtypeStruct((b, ht), jnp.float32),
+        ],
+        in_specs=[vmem] * 14 + [any_, any_, any_],
+        out_specs=[vmem, vmem],
+        scratch_shapes=[
+            pltpu.VMEM((2, TILE, TILE), jnp.int8),
+            pltpu.VMEM((2, H, vp), jnp.int8),
+            pltpu.VMEM((num_layers, b, NKV, CACHE_S, D), jnp.bfloat16),
+            pltpu.VMEM((num_layers, b, NKV, CACHE_S, D), jnp.bfloat16),
+            pltpu.VMEM((b, ht), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((b,)),
+        ],
+        interpret=interpret,
+    )(past_hidden, first_embed, cos, sin, gumbel,
+      packed["scales"], packed["in_ln"], packed["post_ln"],
+      packed["q_norm"], packed["k_norm"], packed["final_norm"],
+      frame_packed["mtp_w"], frame_packed["mtp_b"], frame_packed["heads_s"],
+      packed["tiles"], frame_packed["heads_q"], frame_packed["embeds"])
+    return codes[:, :N_STEPS], esum

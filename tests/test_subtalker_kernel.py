@@ -36,11 +36,20 @@ def quantized_params():
     return cfg, params
 
 
+def _strip_frame(packed_params):
+    """Packed params routed through the per-micro-step kernel only."""
+    p = dict(packed_params)
+    cp = dict(p["code_predictor"])
+    cp.pop("frame_packed", None)
+    p["code_predictor"] = cp
+    return p
+
+
 def test_fused_microstep_matches_xla_stack(quantized_params):
     """Full nested-AR generate: fused kernel path vs the XLA scan path on the
     same int8 weights, greedy sampling -> identical codes, close hiddens."""
     cfg, params = quantized_params
-    packed_params = pack_talker_params(params)
+    packed_params = _strip_frame(pack_talker_params(params))
 
     b = 2
     key = jax.random.PRNGKey(7)
@@ -99,3 +108,52 @@ def test_fused_decode_step_end_to_end(quantized_params):
     assert frame.shape == (b, cfg.num_code_groups)
     assert (frame[:, 1:] >= 0).all() and (frame[:, 1:] < cfg.code_predictor.vocab_size).all()
     assert int(new_state.cache.index) == 5
+
+
+def test_frame_megakernel_greedy_matches_xla(quantized_params):
+    """Single-dispatch frame megakernel (b<=MAX_B, top_p=1) vs the XLA path:
+    identical greedy codes, close embed sums."""
+    cfg, params = quantized_params
+    packed_params = pack_talker_params(params)
+    assert "frame_packed" in packed_params["code_predictor"]
+
+    b = 2
+    k1, k2 = jax.random.split(jax.random.PRNGKey(11))
+    past_hidden = (jax.random.normal(k1, (b, cfg.hidden_size)) * 0.5).astype(jnp.bfloat16)
+    first_embed = (jax.random.normal(k2, (b, cfg.hidden_size)) * 0.5).astype(jnp.bfloat16)
+    sampling = SamplingConfig(do_sample=False)
+
+    codes_ref, sum_ref = code_predictor_generate(
+        params, cfg, past_hidden, first_embed, jax.random.PRNGKey(3), sampling)
+    codes_frame, sum_frame = code_predictor_generate(
+        packed_params, cfg, past_hidden, first_embed, jax.random.PRNGKey(3), sampling)
+
+    assert codes_frame.shape == (b, cfg.num_code_groups - 1)
+    assert (codes_ref == codes_frame).all(), f"{codes_ref}\n{codes_frame}"
+    err = jnp.max(jnp.abs(sum_ref.astype(jnp.float32) - sum_frame.astype(jnp.float32)))
+    scale = jnp.max(jnp.abs(sum_ref.astype(jnp.float32))) + 1e-6
+    assert err / scale < 0.05, f"embed_sum mismatch: rel {err / scale}"
+
+
+def test_frame_megakernel_sampled_matches_xla(quantized_params):
+    """Sampled mode: the kernel consumes the same gumbel draws
+    jax.random.categorical makes, so tokens match the XLA path draw-for-draw
+    (up to near-tie logit noise; this seed has none)."""
+    cfg, params = quantized_params
+    packed_params = pack_talker_params(params)
+
+    b = 1
+    k1, k2 = jax.random.split(jax.random.PRNGKey(21))
+    past_hidden = (jax.random.normal(k1, (b, cfg.hidden_size)) * 0.5).astype(jnp.bfloat16)
+    first_embed = (jax.random.normal(k2, (b, cfg.hidden_size)) * 0.5).astype(jnp.bfloat16)
+    sampling = SamplingConfig(do_sample=True, top_k=7, temperature=0.9)
+
+    codes_ref, _ = code_predictor_generate(
+        _strip_frame(packed_params), cfg, past_hidden, first_embed,
+        jax.random.PRNGKey(5), sampling)
+    codes_frame, _ = code_predictor_generate(
+        packed_params, cfg, past_hidden, first_embed,
+        jax.random.PRNGKey(5), sampling)
+
+    match = (codes_ref == codes_frame).mean()
+    assert match == 1.0, f"sampled mismatch {match}:\n{codes_ref}\n{codes_frame}"
