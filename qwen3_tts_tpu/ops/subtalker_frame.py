@@ -45,6 +45,7 @@ MAX_B = 4           # VMEM-resident KV bound (k+v: 2*L*B*NKV*CACHE_S*D bf16)
 N_STEPS = 15        # residual codebooks (num_code_groups - 1)
 N_POS = N_STEPS + 1  # micro-forwards per frame
 NEG = -1e9          # matches nn.sampling.NEG_INF
+EMB_WIN = 16        # aligned HBM window per embedding-row gather
 _BISECT_ITERS = 40
 
 
@@ -258,19 +259,26 @@ def _frame_kernel(past_ref, first_ref, cos_ref, sin_ref, gumbel_ref,
                       keepdims=True)  # (B, 1) first argmax
         codes_vec = jnp.where(code_lane == step, tok, codes_vec)
 
-        # ---- embedding row gathers (dynamic-index DMA per batch row) ----
+        # ---- embedding row gathers: Mosaic requires HBM sublane slices to
+        # be tile-aligned, so DMA an aligned 16-row window containing the
+        # sampled row per batch element and select the row in VMEM ----
         row_copies = []
         for bi in range(b):
             t_bi = jnp.sum(jnp.where(row_iota2 == bi, tok, 0))
-            c = pltpu.make_async_copy(emb_ref.at[step, t_bi], erow.at[bi],
-                                      esem.at[bi])
+            base = pl.multiple_of((t_bi // EMB_WIN) * EMB_WIN, EMB_WIN)
+            c = pltpu.make_async_copy(
+                emb_ref.at[step, pl.ds(base, EMB_WIN)], erow.at[bi],
+                esem.at[bi])
             c.start()
             row_copies.append(c)
         for c in row_copies:
             c.wait()
-        rows = erow[:]  # (B, H) bf16
-        esum = esum + rows.astype(jnp.float32)
-        xv = rows
+        win = erow[:]  # (B, EMB_WIN, Ht) bf16
+        rem = (tok % EMB_WIN)[:, :, None]                    # (B, 1, 1)
+        sel = jax.lax.broadcasted_iota(jnp.int32, (b, EMB_WIN, 1), 1) == rem
+        rows = jnp.sum(jnp.where(sel, win.astype(jnp.float32), 0.0), axis=1)
+        esum = esum + rows
+        xv = rows.astype(jnp.bfloat16)
 
     codes_ref[:] = codes_vec
     esum_ref[:] = esum.astype(esum_ref.dtype)
@@ -318,7 +326,7 @@ def fused_subtalker_frame(packed: dict, frame_packed: dict,
             pltpu.VMEM((2, H, vp), jnp.int8),
             pltpu.VMEM((num_layers, b, NKV, CACHE_S, D), jnp.bfloat16),
             pltpu.VMEM((num_layers, b, NKV, CACHE_S, D), jnp.bfloat16),
-            pltpu.VMEM((b, ht), jnp.bfloat16),
+            pltpu.VMEM((b, EMB_WIN, ht), jnp.bfloat16),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((b,)),
