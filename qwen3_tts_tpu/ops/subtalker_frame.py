@@ -46,6 +46,10 @@ N_STEPS = 15        # residual codebooks (num_code_groups - 1)
 N_POS = N_STEPS + 1  # micro-forwards per frame
 NEG = -1e9          # matches nn.sampling.NEG_INF
 EMB_WIN = 16        # aligned HBM window per embedding-row gather
+# weight-tile VMEM slots (NWBUF-1 DMAs in flight). 2 is the VMEM ceiling:
+# measured on v5e, NWBUF=6 OOMs scoped vmem (19.98M/16M) — the kernel's
+# KV + head buffers + unrolled-loop temporaries leave <1MB headroom.
+NWBUF = 2
 _BISECT_ITERS = 40
 
 
@@ -106,14 +110,17 @@ def _frame_kernel(past_ref, first_ref, cos_ref, sin_ref, gumbel_ref,
 
     def wdma(i):
         l, t = divmod(i % per_fwd, NTILES)
-        return pltpu.make_async_copy(tiles_ref.at[l, t], wbuf.at[i % 2],
-                                     wsem.at[i % 2])
+        return pltpu.make_async_copy(tiles_ref.at[l, t], wbuf.at[i % NWBUF],
+                                     wsem.at[i % NWBUF])
 
     def hdma(s):
         return pltpu.make_async_copy(hq_ref.at[s], hbuf.at[s % 2],
                                      hsem.at[s % 2])
 
-    wdma(0).start()
+    # deep weight pipeline: keep NWBUF-1 tile DMAs in flight so the stream
+    # rides over per-layer attention/norm and per-step sampling bubbles
+    for i in range(NWBUF - 1):
+        wdma(i).start()
     hdma(0).start()
 
     tile_i = 0
@@ -121,11 +128,11 @@ def _frame_kernel(past_ref, first_ref, cos_ref, sin_ref, gumbel_ref,
     def next_tile():
         nonlocal tile_i
         i = tile_i
-        if i + 1 < total:
-            wdma(i + 1).start()
+        if i + NWBUF - 1 < total:
+            wdma(i + NWBUF - 1).start()
         wdma(i).wait()
         tile_i += 1
-        return wbuf[i % 2].astype(jnp.bfloat16)
+        return wbuf[i % NWBUF].astype(jnp.bfloat16)
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (b, vp), 1)
     valid = lane < vocab
@@ -322,12 +329,12 @@ def fused_subtalker_frame(packed: dict, frame_packed: dict,
         in_specs=[vmem] * 14 + [any_, any_, any_],
         out_specs=[vmem, vmem],
         scratch_shapes=[
-            pltpu.VMEM((2, TILE, TILE), jnp.int8),
+            pltpu.VMEM((NWBUF, TILE, TILE), jnp.int8),
             pltpu.VMEM((2, H, vp), jnp.int8),
             pltpu.VMEM((num_layers, b, NKV, CACHE_S, D), jnp.bfloat16),
             pltpu.VMEM((num_layers, b, NKV, CACHE_S, D), jnp.bfloat16),
             pltpu.VMEM((b, EMB_WIN, ht), jnp.bfloat16),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((NWBUF,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((b,)),
         ],
