@@ -9,11 +9,24 @@ Prints ONE JSON line:
 vs_baseline is the ratio against the >10x-realtime north-star target
 (BASELINE.md: RTF > 10x => >125 frames/s/chip at 12.5 fps); the reference
 publishes no throughput numbers (BASELINE.json.published == {}).
+
+Budget discipline (round-1 lesson: the driver run timed out, rc=124):
+  - measurements run in value order — serving vocoder, then the serving
+    talker config (int8 + Pallas sub-talker kernel), which is enough for the
+    headline number; latency detail (b=1, first packet) follows;
+  - a watchdog thread emits the best-so-far JSON line and exits 0 at
+    BENCH_BUDGET_S (default 420 s) so a stalled compile can never produce
+    an empty result again;
+  - the XLA persistent compile cache (.jax_cache/, committed to the repo)
+    makes repeat runs skip compilation entirely;
+  - the full variant matrix (bf16 / plain-int8 serving configs, vocoder b=1)
+    only runs with BENCH_FULL=1.
 """
 
 import json
 import os
 import sys
+import threading
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -36,10 +49,71 @@ from qwen3_tts_tpu.nn.sampling import SamplingConfig, make_suppress_mask
 
 FRAME_RATE = 12.5  # codec frames per second (1920 samples @ 24 kHz)
 
+# ---------------------------------------------------------------------------
+# result state shared with the watchdog
+# ---------------------------------------------------------------------------
+
+_lock = threading.Lock()
+_printed = False
+_detail: dict = {"phase": "init"}
+_t0 = time.time()
+
+
+def _emit_and_exit(code: int = 0):
+    """Print the single JSON result line exactly once."""
+    global _printed
+    with _lock:
+        if _printed:
+            return
+        _printed = True
+        best = _detail.get("_best_audio_s", 0.0)
+        result = {
+            "metric": "audio_s_per_s_per_chip_1p7b",
+            "value": round(best, 3),
+            "unit": "audio_s/s",
+            "vs_baseline": round(best / 10.0, 3),
+            "detail": {k: v for k, v in _detail.items() if not k.startswith("_")},
+        }
+        result["detail"]["elapsed_s"] = round(time.time() - _t0, 1)
+        print(json.dumps(result), flush=True)
+    if code is not None:
+        os._exit(code)
+
+
+def _watchdog(budget_s: float):
+    time.sleep(budget_s)
+    _detail.setdefault("watchdog_fired_after_phase", _detail.get("phase"))
+    _emit_and_exit(0)
+
+
+def _note(phase: str):
+    _detail["phase"] = phase
+    print(f"[bench {time.time() - _t0:7.1f}s] {phase}", file=sys.stderr, flush=True)
+
+
+# ---------------------------------------------------------------------------
+# param synthesis: cheap on-device pseudo-random fill (NOT zeros — zero params
+# collapse int8 scales to 1e-8 and make sampling near-uniform; round-1 review)
+# ---------------------------------------------------------------------------
+
 
 def _params_like(init_fn, *args, dtype):
     shapes = jax.eval_shape(lambda: init_fn(jax.random.PRNGKey(0), *args, dtype))
-    return jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+    leaves, treedef = jax.tree.flatten(shapes)
+
+    @jax.jit
+    def build():
+        out = []
+        for i, s in enumerate(leaves):
+            n = 1
+            for d in s.shape:
+                n *= d
+            x = jax.lax.iota(jnp.float32, max(n, 1)).reshape(s.shape or (1,))
+            v = (jnp.sin(x * 0.9898 + 0.37 * i) * 0.02).astype(s.dtype)
+            out.append(v.reshape(s.shape))
+        return out
+
+    return jax.tree.unflatten(treedef, build())
 
 
 def bench_talker(batch: int = 1, cache_len: int = 512, steps: int = 64,
@@ -52,10 +126,10 @@ def bench_talker(batch: int = 1, cache_len: int = 512, steps: int = 64,
                                              quantize_talker_params)
 
     params = _params_like(init_talker_params, cfg, dtype=dtype)
-    params = jax.jit(fuse_talker_params)(params)
+    params = jax.jit(fuse_talker_params, donate_argnums=0)(params)
     if quantize:
-        params = jax.jit(quantize_talker_params)(params)
-    if packed:  # fused Pallas sub-talker micro-step kernel (int8 only)
+        params = jax.jit(quantize_talker_params, donate_argnums=0)(params)
+    if packed:  # fused Pallas sub-talker kernels (int8 only)
         params = pack_talker_params(params)
     cache = KVCache.create(spec.num_layers, batch, cache_len, spec.num_kv_heads,
                            spec.head_dim, dtype=dtype)
@@ -105,8 +179,8 @@ def _timed_run(run, params, state, seed):
 def bench_vocoder(frames: int = 300, batch: int = 1):
     cfg = CodecDecoderConfig()
     params = _params_like(init_codec_decoder_params, cfg, dtype=jnp.bfloat16)
-    codes = jnp.zeros((batch, cfg.num_quantizers, frames), jnp.int32)
-    codes2 = jnp.ones((batch, cfg.num_quantizers, frames), jnp.int32)
+    key = jax.random.PRNGKey(0)
+    codes = jax.random.randint(key, (batch, cfg.num_quantizers, frames), 0, 2048)
     fn = jax.jit(lambda p, c: codec_decode(p, cfg, c))
     float(fn(params, codes)[0, 0])  # compile + warmup
 
@@ -115,7 +189,7 @@ def bench_vocoder(frames: int = 300, batch: int = 1):
         _ = float(fn(params, c)[0, 0])
         return time.perf_counter() - t0
 
-    dt = min(once(codes2 + i) for i in range(3))
+    dt = min(once((codes + i) % 2048) for i in (1, 2, 3))
     audio_s = frames * batch / FRAME_RATE
     return audio_s / dt
 
@@ -171,51 +245,77 @@ def bench_first_packet(fp_frames: int = 4, prompt_len: int = 32, reps: int = 5):
 
 
 def main():
-    # batch 32 keeps per-stream decode at ~24 ms/frame (3.3x realtime margin)
+    budget = float(os.environ.get("BENCH_BUDGET_S", "420"))
+    threading.Thread(target=_watchdog, args=(budget,), daemon=True).start()
+
     serve_batch = int(os.environ.get("BENCH_BATCH", "32"))
-    lm1_fps, lm1_ms = bench_talker(batch=1)
-    lmN_fps, lmN_ms = bench_talker(batch=serve_batch)
-    lmQ_fps, lmQ_ms = bench_talker(batch=serve_batch, quantize=True)
-    try:
-        lmK_fps, lmK_ms = bench_talker(batch=serve_batch, quantize=True, packed=True)
-    except Exception as e:  # kernel variant must never take down the bench
-        print(f"subtalker-kernel variant failed: {e!r}", file=sys.stderr)
-        lmK_fps, lmK_ms = 1e-9, float("inf")
-    voc_audio_1 = bench_vocoder(batch=1)
+    full = os.environ.get("BENCH_FULL", "") == "1"
+    _detail["serve_batch"] = serve_batch
+    _detail["device"] = str(jax.devices()[0])
+
+    # --- 1. serving vocoder (small compile, needed for the headline) ---
+    _note("vocoder_bN")
     voc_audio_n = bench_vocoder(batch=serve_batch)
-    fp_p50 = bench_first_packet()
-    single = 1.0 / (FRAME_RATE / lm1_fps + 1.0 / voc_audio_1)
+    _detail["vocoder_audio_s_per_s_bN"] = round(voc_audio_n, 3)
+
+    # --- 2. serving talker config: int8 + Pallas sub-talker kernel ---
+    _note("talker_bN_int8_kernel")
+    serving_config = "int8+subtalker-kernel"
+    try:
+        lmN_fps, lmN_ms = bench_talker(batch=serve_batch, quantize=True, packed=True)
+    except Exception as e:  # kernel variant must never take down the bench
+        print(f"subtalker-kernel variant failed: {e!r}", file=sys.stderr, flush=True)
+        _note("talker_bN_int8_fallback")
+        serving_config = "int8"
+        lmN_fps, lmN_ms = bench_talker(batch=serve_batch, quantize=True)
     combined = 1.0 / (FRAME_RATE / lmN_fps + 1.0 / voc_audio_n)
-    combined_int8 = 1.0 / (FRAME_RATE / lmQ_fps + 1.0 / voc_audio_n)
-    combined_kern = 1.0 / (FRAME_RATE / lmK_fps + 1.0 / voc_audio_n)
-    configs = {"bf16": combined, "int8": combined_int8,
-               "int8+subtalker-kernel": combined_kern}
-    serving_config = max(configs, key=configs.get)
-    best = configs[serving_config]
-    result = {
-        "metric": "audio_s_per_s_per_chip_1p7b",
-        "value": round(best, 3),
-        "unit": "audio_s/s",
-        "vs_baseline": round(best / 10.0, 3),
-        "detail": {
-            "serving_config": serving_config,
-            "bf16_audio_s_per_s": round(combined, 3),
-            "serve_batch": serve_batch,
-            "talker_step_ms_b1": round(lm1_ms * 1e3, 3),
-            "talker_step_ms_bN": round(lmN_ms * 1e3, 3),
-            "talker_frames_per_s_bN": round(lmN_fps, 2),
-            "single_stream_audio_s_per_s": round(single, 3),
-            "vocoder_audio_s_per_s_b1": round(voc_audio_1, 3),
-            "vocoder_audio_s_per_s_bN": round(voc_audio_n, 3),
-            "first_packet_p50_ms": round(fp_p50 * 1e3, 1),
-            "talker_step_ms_bN_int8": round(lmQ_ms * 1e3, 3),
-            "int8_audio_s_per_s": round(combined_int8, 3),
-            "talker_step_ms_bN_int8_kernel": round(lmK_ms * 1e3, 3),
-            "int8_kernel_audio_s_per_s": round(combined_kern, 3),
-            "device": str(jax.devices()[0]),
-        },
-    }
-    print(json.dumps(result))
+    _detail.update({
+        "_best_audio_s": combined,
+        "serving_config": serving_config,
+        "talker_step_ms_bN": round(lmN_ms * 1e3, 3),
+        "talker_frames_per_s_bN": round(lmN_fps, 2),
+    })
+
+    # --- 3. single-stream latency (same serving config at b=1) ---
+    _note("talker_b1")
+    try:
+        lm1_fps, lm1_ms = bench_talker(batch=1, quantize=True, packed=True)
+        _detail["talker_b1_config"] = "int8+subtalker-kernel"
+    except Exception as e:
+        print(f"b=1 kernel variant failed: {e!r}", file=sys.stderr, flush=True)
+        lm1_fps, lm1_ms = bench_talker(batch=1, quantize=True)
+        _detail["talker_b1_config"] = "int8"
+    _detail["talker_step_ms_b1"] = round(lm1_ms * 1e3, 3)
+
+    # --- 4. first packet (fused prefill + burst + vocode, bf16) ---
+    _note("first_packet")
+    try:
+        fp_p50 = bench_first_packet()
+        _detail["first_packet_p50_ms"] = round(fp_p50 * 1e3, 1)
+    except Exception as e:
+        print(f"first-packet bench failed: {e!r}", file=sys.stderr, flush=True)
+
+    # --- 5. single-stream combined ---
+    _note("vocoder_b1")
+    voc_audio_1 = bench_vocoder(batch=1)
+    single = 1.0 / (FRAME_RATE / lm1_fps + 1.0 / voc_audio_1)
+    _detail["vocoder_audio_s_per_s_b1"] = round(voc_audio_1, 3)
+    _detail["single_stream_audio_s_per_s"] = round(single, 3)
+
+    if full:  # full variant matrix (not needed for the headline)
+        _note("full_matrix_bf16")
+        lmF_fps, lmF_ms = bench_talker(batch=serve_batch)
+        _detail["talker_step_ms_bN_bf16"] = round(lmF_ms * 1e3, 3)
+        _detail["bf16_audio_s_per_s"] = round(
+            1.0 / (FRAME_RATE / lmF_fps + 1.0 / voc_audio_n), 3)
+        _note("full_matrix_int8")
+        lmQ_fps, lmQ_ms = bench_talker(batch=serve_batch, quantize=True)
+        _detail["talker_step_ms_bN_int8"] = round(lmQ_ms * 1e3, 3)
+        _detail["int8_audio_s_per_s"] = round(
+            1.0 / (FRAME_RATE / lmQ_fps + 1.0 / voc_audio_n), 3)
+
+    _note("done")
+    _emit_and_exit(None)
 
 
 if __name__ == "__main__":

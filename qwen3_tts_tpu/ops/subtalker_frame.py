@@ -13,7 +13,9 @@ per-codebook embedding gathers — into ONE pallas dispatch:
   - the tiny KV cache (17 live positions) lives entirely in VMEM scratch
     for the whole frame — zero HBM round-trips;
   - lm_heads (int8) are prefetched one step ahead; the sampled token's
-    embedding row is gathered straight from HBM by dynamic-index DMA;
+    embedding row arrives as an aligned EMB_WIN-row HBM window DMA (Mosaic
+    requires tile-aligned sublane slices) with the exact row selected
+    in VMEM by a masked reduction;
   - sampling inside the kernel reproduces the XLA pipeline exactly for the
     sub-talker's processor chain (temperature -> top-k -> categorical;
     reference HF order, see nn/sampling.py): the top-k threshold is found
@@ -46,9 +48,10 @@ N_STEPS = 15        # residual codebooks (num_code_groups - 1)
 N_POS = N_STEPS + 1  # micro-forwards per frame
 NEG = -1e9          # matches nn.sampling.NEG_INF
 EMB_WIN = 16        # aligned HBM window per embedding-row gather
-# weight-tile VMEM slots (NWBUF-1 DMAs in flight). 2 is the VMEM ceiling:
-# measured on v5e, NWBUF=6 OOMs scoped vmem (19.98M/16M) — the kernel's
-# KV + head buffers + unrolled-loop temporaries leave <1MB headroom.
+# weight-tile VMEM slots (NWBUF-1 DMAs in flight). Measured on v5e at the
+# default 16M scoped-vmem limit: NWBUF=2 compiles, NWBUF=6 OOMs (19.98M
+# requested); intermediate values untested — revisit alongside
+# CompilerParams(vmem_limit_bytes=...) if the weight stream ever stalls.
 NWBUF = 2
 _BISECT_ITERS = 40
 
