@@ -175,22 +175,28 @@ class StreamingSession:
         self.metrics.wall_s = time.perf_counter() - t0
 
     def _vocode_range(self, frames: np.ndarray, start: int, end: int) -> np.ndarray:
-        """Vocode frames[start:end] with left context (reference chunked
-        semantics: re-decode `left_context` context frames, emit the tail)."""
-        st = self.model.speech_tokenizer
-        ctx = min(self.left_context, start)
-        codes = frames[start - ctx:end]  # (n, groups)
-        k = st.config.decoder.num_quantizers
-        batch = codes.T[None, :k, :].astype(np.int32)
-        key = batch.shape
-        if key not in st._decode_jit:
-            from ..models.codec_decoder import codec_decode
+        return vocode_range(self.model, frames, start, end, self.left_context)
 
-            st._decode_jit[key] = jax.jit(
-                lambda p, c: codec_decode(p, st.config.decoder, c))
-        wav = np.asarray(st._decode_jit[key](st.decoder_params, jnp.asarray(batch)))
-        up = st.config.decoder.total_upsample
-        return wav[0, ctx * up:].astype(np.float32)
+
+def vocode_range(model, frames: np.ndarray, start: int, end: int,
+                 left_context: int = 25) -> np.ndarray:
+    """Vocode frames[start:end] with left context (reference chunked
+    semantics: re-decode `left_context` context frames, emit the tail).
+    Shared by StreamingSession and the continuous batcher's stream path."""
+    st = model.speech_tokenizer
+    ctx = min(left_context, start)
+    codes = frames[start - ctx:end]  # (n, groups)
+    k = st.config.decoder.num_quantizers
+    batch = codes.T[None, :k, :].astype(np.int32)
+    key = batch.shape
+    if key not in st._decode_jit:
+        from ..models.codec_decoder import codec_decode
+
+        st._decode_jit[key] = jax.jit(
+            lambda p, c: codec_decode(p, st.config.decoder, c))
+    wav = np.asarray(st._decode_jit[key](st.decoder_params, jnp.asarray(batch)))
+    up = st.config.decoder.total_upsample
+    return wav[0, ctx * up:].astype(np.float32)
 
 
 def _session_from_prompt(model, prompt, gk: dict, emit_chunk_frames: int,

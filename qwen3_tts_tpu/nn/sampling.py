@@ -11,6 +11,7 @@ Everything is static-shape; the "seen token" set for repetition penalty is a
 from __future__ import annotations
 
 from dataclasses import dataclass
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -25,6 +26,47 @@ class SamplingConfig:
     top_p: float = 1.0
     temperature: float = 0.9
     repetition_penalty: float = 1.05
+
+
+class BatchedSampling(NamedTuple):
+    """Per-sample sampling knobs as traced (B,) arrays — one compiled program
+    serves heterogeneous requests (continuous batching). Greedy per-request
+    decoding is expressed as top_k=1 (categorical over a single candidate
+    equals argmax), so `do_sample` stays a static True."""
+
+    temperature: jax.Array          # (B,) float32
+    top_k: jax.Array                # (B,) int32; <=0 or >=V disables
+    top_p: jax.Array                # (B,) float32; >=1 disables
+    repetition_penalty: jax.Array   # (B,) float32
+
+    do_sample = True  # class attribute (not a pytree leaf)
+
+    @staticmethod
+    def broadcast(cfg: SamplingConfig, batch: int) -> "BatchedSampling":
+        """Replicate a static SamplingConfig across a batch."""
+        tk = 1 if not cfg.do_sample else cfg.top_k
+        tp = 1.0 if not cfg.do_sample else cfg.top_p
+        tmp = 1.0 if not cfg.do_sample else cfg.temperature
+        return BatchedSampling(
+            temperature=jnp.full((batch,), tmp, jnp.float32),
+            top_k=jnp.full((batch,), tk, jnp.int32),
+            top_p=jnp.full((batch,), tp, jnp.float32),
+            repetition_penalty=jnp.full((batch,), cfg.repetition_penalty,
+                                        jnp.float32),
+        )
+
+    def row(self, slot, cfg: SamplingConfig) -> "BatchedSampling":
+        """Functionally set one slot's knobs from a SamplingConfig."""
+        tk = 1 if not cfg.do_sample else cfg.top_k
+        tp = 1.0 if not cfg.do_sample else cfg.top_p
+        tmp = 1.0 if not cfg.do_sample else cfg.temperature
+        return BatchedSampling(
+            temperature=self.temperature.at[slot].set(tmp),
+            top_k=self.top_k.at[slot].set(tk),
+            top_p=self.top_p.at[slot].set(tp),
+            repetition_penalty=self.repetition_penalty.at[slot].set(
+                cfg.repetition_penalty),
+        )
 
 
 def apply_repetition_penalty(logits: jax.Array, seen: jax.Array, penalty: float) -> jax.Array:
@@ -60,15 +102,66 @@ def apply_top_p(logits: jax.Array, p: float) -> jax.Array:
     return jnp.where(logits < thresh, NEG_INF, logits)
 
 
+def apply_top_k_batched(logits: jax.Array, k: jax.Array) -> jax.Array:
+    """Per-row top-k: k (B,) int32; rows with k<=0 or k>=V pass through."""
+    v = logits.shape[-1]
+    kc = jnp.clip(k, 1, v)
+    sorted_asc = jnp.sort(logits, axis=-1)
+    kth = jnp.take_along_axis(sorted_asc, (v - kc)[:, None], axis=-1)
+    active = ((k > 0) & (k < v))[:, None]
+    return jnp.where(active & (logits < kth), NEG_INF, logits)
+
+
+def apply_top_p_batched(logits: jax.Array, p: jax.Array) -> jax.Array:
+    """Per-row nucleus filtering: p (B,) float32; rows with p>=1 pass through."""
+    sorted_asc = jnp.sort(logits, axis=-1)
+    cum = jnp.cumsum(jax.nn.softmax(sorted_asc, axis=-1), axis=-1)
+    keep = cum > (1.0 - p)[:, None]
+    keep = keep.at[..., -1].set(True)
+    thresh = jnp.min(jnp.where(keep, sorted_asc, jnp.inf), axis=-1, keepdims=True)
+    active = (p < 1.0)[:, None]
+    return jnp.where(active & (logits < thresh), NEG_INF, logits)
+
+
+def _process_logits_batched(
+    logits: jax.Array,
+    bs: BatchedSampling,
+    seen: jax.Array | None,
+    suppress_mask: jax.Array | None,
+    eos_id: int | None,
+    block_eos: jax.Array | None,
+) -> jax.Array:
+    """process_logits with per-row traced knobs (same processor order)."""
+    logits = logits.astype(jnp.float32)
+    if eos_id is not None and block_eos is not None:
+        eos_col = jnp.zeros(logits.shape, bool).at[:, eos_id].set(True)
+        logits = jnp.where(eos_col & block_eos[:, None], NEG_INF, logits)
+    if seen is not None:
+        pen = bs.repetition_penalty[:, None]
+        penalized = jnp.where(logits > 0, logits / pen, logits * pen)
+        logits = jnp.where(seen, penalized, logits)
+    if suppress_mask is not None:
+        logits = jnp.where(suppress_mask, NEG_INF, logits)
+    temp = jnp.where(bs.temperature <= 0, 1.0, bs.temperature)[:, None]
+    logits = logits / temp
+    logits = apply_top_k_batched(logits, bs.top_k)
+    logits = apply_top_p_batched(logits, bs.top_p)
+    return logits
+
+
 def process_logits(
     logits: jax.Array,
-    cfg: SamplingConfig,
+    cfg: SamplingConfig | BatchedSampling,
     seen: jax.Array | None = None,
     suppress_mask: jax.Array | None = None,
     eos_id: int | None = None,
     block_eos: jax.Array | None = None,
 ) -> jax.Array:
-    """Full processor chain; logits (B, V) float32."""
+    """Full processor chain; logits (B, V) float32. `cfg` is either a static
+    SamplingConfig or a BatchedSampling of per-row traced knobs."""
+    if isinstance(cfg, BatchedSampling):
+        return _process_logits_batched(logits, cfg, seen, suppress_mask,
+                                       eos_id, block_eos)
     logits = logits.astype(jnp.float32)
     if eos_id is not None and block_eos is not None:
         # min_new_tokens: forbid EOS while block_eos is true (per batch row)

@@ -36,7 +36,8 @@ import numpy as np
 from ..models.talker import (TalkerState, talker_decode_step, talker_spec)
 from ..nn.cache import KVCache
 from ..nn.rope import make_inv_freq, rope_cos_sin
-from ..nn.sampling import SamplingConfig, make_suppress_mask, process_logits, sample_token
+from ..nn.sampling import (BatchedSampling, SamplingConfig, make_suppress_mask,
+                           process_logits, sample_token)
 from ..nn.transformer import cache_attention_mask, stack_forward
 
 
@@ -44,9 +45,11 @@ from ..nn.transformer import cache_attention_mask, stack_forward
 class _Request:
     prompt: object              # AssembledPrompt (b=1)
     max_frames: int
+    sampling: SamplingConfig
     future: Future = field(default_factory=Future)
     frames: list = field(default_factory=list)
     slot: int = -1
+    stream_q: Optional[queue.Queue] = None  # set for streamed requests
 
 
 class ContinuousBatcher:
@@ -82,13 +85,22 @@ class ContinuousBatcher:
 
     # ------------------------------------------------------------------ API
 
-    def submit(self, text: str, speaker: Optional[str] = None,
-               language: str = "auto", instruct: Optional[str] = None,
-               max_frames: int = 256, **_ignored) -> Future:
-        """Enqueue a synthesis request; resolves to (wav np.ndarray, sr)."""
+    def _make_request(self, text, speaker, language, instruct, max_frames,
+                      do_sample, top_k, top_p, temperature,
+                      repetition_penalty, stream_q=None) -> _Request:
         from ..models.generation import assemble_prompts
 
         model = self.model
+        base = self.sampling
+        samp = SamplingConfig(
+            do_sample=base.do_sample if do_sample is None else bool(do_sample),
+            top_k=base.top_k if top_k is None else int(top_k),
+            top_p=base.top_p if top_p is None else float(top_p),
+            temperature=(base.temperature if temperature is None
+                         else float(temperature)),
+            repetition_penalty=(base.repetition_penalty
+                                if repetition_penalty is None
+                                else float(repetition_penalty)))
         input_ids = model._tokenize_texts([model._build_assistant_text(text)])
         instruct_ids = None
         if instruct:
@@ -97,10 +109,76 @@ class ContinuousBatcher:
         prompt = assemble_prompts(model.talker_params, model.config, input_ids,
                                   [language], [speaker] if speaker else None,
                                   instruct_ids, non_streaming_mode=False)
-        req = _Request(prompt=prompt, max_frames=max_frames)
+        t_tr = prompt.trailing_text_hidden.shape[1]
+        if t_tr > self.trailing_cap:
+            raise ValueError(
+                f"trailing text length {t_tr} exceeds the batcher's "
+                f"trailing_cap {self.trailing_cap}; raise trailing_cap at "
+                f"construction or shorten the text")
+        return _Request(prompt=prompt, max_frames=max_frames, sampling=samp,
+                        stream_q=stream_q)
+
+    def submit(self, text: str, speaker: Optional[str] = None,
+               language: str = "auto", instruct: Optional[str] = None,
+               max_frames: int = 256, do_sample: Optional[bool] = None,
+               top_k: Optional[int] = None, top_p: Optional[float] = None,
+               temperature: Optional[float] = None,
+               repetition_penalty: Optional[float] = None) -> Future:
+        """Enqueue a synthesis request; resolves to (wav np.ndarray, sr).
+
+        Talker sampling knobs are honored per request (per-slot traced arrays
+        inside the shared decode program; do_sample=False maps to top_k=1,
+        which equals argmax). Sub-talker sampling stays batcher-global: the
+        fused sub-talker kernels specialize on it at construction."""
+        req = self._make_request(text, speaker, language, instruct, max_frames,
+                                 do_sample, top_k, top_p, temperature,
+                                 repetition_penalty)
         self._queue.put(req)
         self._wake.set()
         return req.future
+
+    def submit_stream(self, text: str, speaker: Optional[str] = None,
+                      language: str = "auto", instruct: Optional[str] = None,
+                      max_frames: int = 256, emit_chunk_frames: int = 4,
+                      left_context: int = 25, do_sample: Optional[bool] = None,
+                      top_k: Optional[int] = None, top_p: Optional[float] = None,
+                      temperature: Optional[float] = None,
+                      repetition_penalty: Optional[float] = None):
+        """Streaming submit: returns a generator of float32 audio chunks.
+        Frames stream out of the shared batch at burst granularity and are
+        vocoded incrementally (reference chunked-decode semantics), so first
+        audio arrives while the request is still batched."""
+        from ..inference.streaming import vocode_range
+
+        stream_q: queue.Queue = queue.Queue()
+        req = self._make_request(text, speaker, language, instruct, max_frames,
+                                 do_sample, top_k, top_p, temperature,
+                                 repetition_penalty, stream_q=stream_q)
+        self._queue.put(req)
+        self._wake.set()
+
+        def gen():
+            frames_buf: list[np.ndarray] = []
+            emitted = 0
+            done = False
+            while not done:
+                item = stream_q.get()
+                if isinstance(item, Exception):
+                    raise item
+                if item is None:
+                    done = True
+                else:
+                    frames_buf.append(item)
+                total = sum(len(f) for f in frames_buf)
+                step = max(emit_chunk_frames, 1)
+                while (total - emitted >= step) or (done and total > emitted):
+                    end = min(emitted + step, total)
+                    chunk = vocode_range(self.model, np.concatenate(frames_buf),
+                                         emitted, end, left_context)
+                    emitted = end
+                    yield chunk
+
+        return gen()
 
     def shutdown(self):
         self._stop = True
@@ -129,6 +207,8 @@ class ContinuousBatcher:
         self.trailing = jnp.zeros((b, self.trailing_cap, self.cfg.hidden_size),
                                   self.dtype)
         self.pad_embed = jnp.zeros((1, self.cfg.hidden_size), self.dtype)
+        # per-slot talker sampling knobs (traced inputs of the shared program)
+        self.samp = BatchedSampling.broadcast(self.sampling, b)
 
     def _bucket(self, t: int) -> int:
         """Smallest power-of-two window >= t (min 32, capped at cache_len)."""
@@ -148,7 +228,8 @@ class ContinuousBatcher:
 
         @jax.jit
         def join(params, state: TalkerState, pad_mask, trailing_buf,
-                 embeds_w, row_mask_w, trailing_row, pad_embed, slot, key):
+                 embeds_w, row_mask_w, trailing_row, pad_embed, slot, key,
+                 samp_row: BatchedSampling):
             """Prefill one request over a w-wide window ending exactly at
             state.cache.index, install its KV rows into `slot`."""
             inv = make_inv_freq(spec.head_dim, spec.rope_theta)
@@ -173,9 +254,9 @@ class ContinuousBatcher:
             logits = _head(params, "codec_head", last_h[None]).astype(jnp.float32)
             seen_row = jnp.zeros((1, cfg.vocab_size), bool)
             key, sub = jax.random.split(key)
-            proc = process_logits(logits, self.sampling, seen_row, self.suppress,
+            proc = process_logits(logits, samp_row, seen_row, self.suppress,
                                   cfg.codec_eos_token_id, jnp.ones((1,), bool))
-            token0 = sample_token(sub, proc, self.sampling.do_sample)[0]
+            token0 = sample_token(sub, proc, True)[0]
 
             n_valid = jnp.sum(row_mask_w)
             start = idx - w  # guaranteed >= 0 by admission (index advance)
@@ -210,12 +291,12 @@ class ContinuousBatcher:
         cfg = self.cfg
 
         @jax.jit
-        def burst(params, state, trailing, pad_embed, pad_mask):
+        def burst(params, state, trailing, pad_embed, pad_mask, samp):
             def body(carry, _):
                 st = carry
                 st, frame, _ = talker_decode_step(
                     params, cfg, st, trailing, pad_embed, pad_mask,
-                    self.sampling, self.sub_sampling, self.suppress)
+                    samp, self.sub_sampling, self.suppress)
                 return st, frame
             state, frames = jax.lax.scan(body, state, None,
                                          length=self.burst_frames)
@@ -265,7 +346,7 @@ class ContinuousBatcher:
             row_mask_w = row_mask_w.at[:, w - n_valid:].set(1)
             trailing_row = jnp.zeros((self.trailing_cap, self.cfg.hidden_size),
                                      self.dtype)
-            t_tr = min(p.trailing_text_hidden.shape[1], self.trailing_cap)
+            t_tr = p.trailing_text_hidden.shape[1]  # <= trailing_cap (submit checks)
             trailing_row = trailing_row.at[:t_tr].set(
                 p.trailing_text_hidden[0, :t_tr].astype(self.dtype))
             # pad-embed fill beyond the real trailing text
@@ -273,13 +354,21 @@ class ContinuousBatcher:
                 jnp.broadcast_to(p.tts_pad_embed.astype(self.dtype),
                                  (self.trailing_cap - t_tr,
                                   self.cfg.hidden_size))[0:self.trailing_cap - t_tr])
+            # tts_pad_embed is a model constant (same row of codec_embedding
+            # for every request), so the batch-global assignment is safe
             self.pad_embed = p.tts_pad_embed.astype(self.dtype)
+            self.samp = self.samp.row(slot, req.sampling)
 
             key = jax.random.PRNGKey(np.random.randint(0, 2**31))
+            samp_row = BatchedSampling(
+                temperature=self.samp.temperature[slot][None],
+                top_k=self.samp.top_k[slot][None],
+                top_p=self.samp.top_p[slot][None],
+                repetition_penalty=self.samp.repetition_penalty[slot][None])
             self.state, self.pad_mask, self.trailing = self._join_fn(w)(
                 self.model.talker_params, self.state, self.pad_mask,
                 self.trailing, embeds_w, row_mask_w, trailing_row,
-                self.pad_embed, slot, key)
+                self.pad_embed, slot, key, samp_row)
             req.slot = slot
             self._active[slot] = req
 
@@ -293,12 +382,19 @@ class ContinuousBatcher:
                 fr = fr[: int(np.argmax(eos))]
             req.frames.append(fr)
             total = sum(len(f) for f in req.frames)
+            over = max(total - req.max_frames, 0)
+            if req.stream_q is not None and len(fr) - over > 0:
+                req.stream_q.put(fr[: len(fr) - over])  # emit while batched
             if bool(done[slot]) or eos.any() or total >= req.max_frames:
                 finished.append(slot)
         for slot in finished:
             req = self._active.pop(slot)
             self.state = self.state._replace(
                 done=self.state.done.at[slot].set(True))
+            if req.stream_q is not None:
+                req.stream_q.put(None)  # end-of-stream sentinel
+                req.future.set_result(None)
+                continue
             codes = np.concatenate(req.frames) if req.frames else \
                 np.zeros((0, self.cfg.num_code_groups), np.int64)
             codes = codes[: req.max_frames]
@@ -322,7 +418,7 @@ class ContinuousBatcher:
                 continue
             self.state, frames = self._burst_fn(
                 self.model.talker_params, self.state, self.trailing,
-                self.pad_embed, self.pad_mask)
+                self.pad_embed, self.pad_mask, self.samp)
             self._harvest(np.asarray(frames))
             if (int(self.state.cache.index) >= self.cache_len - self.burst_frames - 1
                     and not self._active):

@@ -101,11 +101,14 @@ class TTSServer:
         task = req.get("task", "custom_voice")
         # continuous-batching fast path for custom-voice requests
         if self.batcher is not None and task == "custom_voice":
+            samp = {k: req[k] for k in ("do_sample", "top_k", "top_p",
+                                        "temperature", "repetition_penalty")
+                    if k in req}
             fut = self.batcher.submit(
                 req["text"] if isinstance(req["text"], str) else req["text"][0],
                 speaker=req["speaker"], language=req.get("language", "auto"),
                 instruct=req.get("instruct"),
-                max_frames=int(req.get("max_new_tokens", 2048)) - 1)
+                max_frames=int(req.get("max_new_tokens", 2048)) - 1, **samp)
             wav, sr = fut.result()
             dt = time.perf_counter() - t0
             audio_s = len(wav) / sr
@@ -158,10 +161,31 @@ class TTSServer:
 
     def synthesize_stream(self, req: Dict[str, Any]):
         """Generator of (pcm16 bytes, sr) chunks — custom-voice / voice-design
-        streaming over chunked HTTP."""
+        streaming over chunked HTTP. With continuous batching enabled,
+        custom-voice streams ride the shared batch (first packet while
+        batched, N concurrent streaming clients)."""
         from ..inference.streaming import stream_custom_voice, stream_voice_design
 
         task = req.get("task", "custom_voice")
+        if self.batcher is not None and task == "custom_voice":
+            samp = {k: req[k] for k in ("do_sample", "top_k", "top_p",
+                                        "temperature", "repetition_penalty")
+                    if k in req}
+            t0 = time.perf_counter()
+            sr = self.model.speech_tokenizer.get_output_sample_rate()
+            gen = self.batcher.submit_stream(
+                req["text"] if isinstance(req["text"], str) else req["text"][0],
+                speaker=req["speaker"], language=req.get("language", "auto"),
+                instruct=req.get("instruct"),
+                max_frames=int(req.get("max_new_tokens", 2048)) - 1,
+                emit_chunk_frames=int(req.get("emit_chunk_frames", 4)), **samp)
+            audio_s = 0.0
+            for chunk in gen:
+                audio_s += len(chunk) / sr
+                pcm = (np.clip(chunk, -1, 1) * 32767.0).astype("<i2").tobytes()
+                yield pcm, sr
+            self.metrics.record(time.perf_counter() - t0, audio_s)
+            return
         kwargs = {k: req[k] for k in ("do_sample", "top_k", "top_p", "temperature",
                                       "repetition_penalty", "max_new_tokens",
                                       "seed") if k in req}

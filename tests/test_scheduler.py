@@ -84,6 +84,64 @@ def test_server_with_continuous_batching(tmp_path_factory):
         app.batcher.shutdown()
 
 
+def test_batched_sampling_parity():
+    """Per-row traced sampling knobs must reproduce the static processor
+    chain exactly (greedy rows map to top_k=1 == argmax)."""
+    import jax
+    from qwen3_tts_tpu.nn.sampling import (BatchedSampling, SamplingConfig,
+                                           process_logits)
+
+    key = jax.random.PRNGKey(0)
+    logits = jax.random.normal(key, (4, 512)) * 3
+    seen = jax.random.bernoulli(jax.random.PRNGKey(1), 0.1, (4, 512))
+    sup = jnp.zeros((512,), bool).at[-50:].set(True)
+    blk = jnp.array([True, False, True, False])
+    cfgs = [SamplingConfig(temperature=0.7, top_k=10, top_p=0.9),
+            SamplingConfig(do_sample=False),
+            SamplingConfig(top_k=0, top_p=0.5, temperature=1.3,
+                           repetition_penalty=1.2),
+            SamplingConfig()]
+    bs = BatchedSampling.broadcast(SamplingConfig(), 4)
+    for i, c in enumerate(cfgs):
+        bs = bs.row(i, c)
+    out = process_logits(logits, bs, seen, sup, 5, blk)
+    for i, c in enumerate(cfgs):
+        ref = process_logits(logits[i:i + 1], c, seen[i:i + 1], sup, 5,
+                             blk[i:i + 1])
+        if c.do_sample:
+            assert bool(jnp.all(ref[0] == out[i]))
+        else:  # greedy row: same argmax through top_k=1
+            assert int(jnp.argmax(ref[0])) == int(jnp.argmax(out[i]))
+
+
+def test_per_request_sampling_and_stream(batcher):
+    """Heterogeneous sampling knobs in one shared batch + streamed frames."""
+    f_hot = batcher.submit("hot", speaker="vivian", max_frames=4,
+                           temperature=1.5, top_k=50)
+    f_greedy = batcher.submit("cold", speaker="vivian", max_frames=4,
+                              do_sample=False)
+    gen = batcher.submit_stream("streamed", speaker="vivian", max_frames=6,
+                                emit_chunk_frames=2, temperature=0.8)
+    chunks = list(gen)
+    assert len(chunks) >= 1
+    for ch in chunks:
+        assert ch.dtype == np.float32 and ch.ndim == 1
+    for fut in (f_hot, f_greedy):
+        wav, sr = fut.result(timeout=300)
+        assert sr == 24000 and wav.ndim == 1
+
+
+def test_trailing_cap_explicit_error(batcher):
+    old = batcher.trailing_cap
+    batcher.trailing_cap = 2
+    try:
+        with pytest.raises(ValueError, match="trailing"):
+            batcher.submit("a text longer than two trailing frames",
+                           speaker="vivian", max_frames=4)
+    finally:
+        batcher.trailing_cap = old
+
+
 def test_bucketed_admission_mixed_lengths(batcher):
     """Prompts landing in different buckets batch together; an over-long
     prompt is rejected cleanly instead of wedging the batch."""
