@@ -136,16 +136,43 @@ class Qwen3TTSModel:
 
     # ------------------------------------------------------------------ load
 
+    @staticmethod
+    def _resolve_model_dir(model_id_or_dir: str) -> str:
+        """Resolve a local directory or a HF Hub model id to a local snapshot
+        dir (reference resolves hub ids inside AutoModel.from_pretrained and
+        side-downloads speech_tokenizer/* via download_weights_from_hf_specific,
+        modeling_qwen3_tts.py:55-92, 1855-1938). The snapshot includes the
+        speech_tokenizer/ subfolder, so no separate side-download is needed."""
+        if os.path.isdir(model_id_or_dir):
+            return model_id_or_dir
+        try:
+            from huggingface_hub import snapshot_download
+        except ImportError as e:  # pragma: no cover - hub is a transformers dep
+            raise FileNotFoundError(
+                f"{model_id_or_dir!r} is not a local directory and "
+                "huggingface_hub is unavailable to resolve it as a model id"
+            ) from e
+        try:
+            return snapshot_download(repo_id=model_id_or_dir)
+        except Exception as e:
+            raise FileNotFoundError(
+                f"{model_id_or_dir!r} is not a local checkpoint directory and "
+                f"could not be downloaded from the HuggingFace Hub ({e!r}). "
+                "Pass a local dir, or check network access / the model id."
+            ) from e
+
     @classmethod
     def from_pretrained(cls, model_dir: str, dtype=jnp.bfloat16,
                         load_processor: bool = True,
                         quantization: str | None = None,
                         fuse: bool = True) -> "Qwen3TTSModel":
-        """Load a local reference-format checkpoint dir: config.json +
-        safetensors + speech_tokenizer/ + generation_config.json
-        (reference from_pretrained flow, modeling_qwen3_tts.py:1855-1938)."""
+        """Load a reference-format checkpoint: a local dir or a HF Hub model
+        id resolving to config.json + safetensors + speech_tokenizer/ +
+        generation_config.json (reference from_pretrained flow,
+        modeling_qwen3_tts.py:1855-1938)."""
         import json
 
+        model_dir = cls._resolve_model_dir(model_dir)
         with open(os.path.join(model_dir, "config.json")) as f:
             config = TTSConfig.from_dict(json.load(f))
         sd = load_safetensors_dir(model_dir)

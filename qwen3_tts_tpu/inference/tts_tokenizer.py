@@ -45,11 +45,15 @@ class Qwen3TTSTokenizer:
 
     @classmethod
     def from_pretrained(cls, model_dir: str, dtype=jnp.float32):
-        """Load from a local `speech_tokenizer/` checkpoint dir. Dispatches on
-        config model_type between the 12Hz (v2) and 25Hz (v1) tokenizers
-        (reference qwen3_tts_tokenizer.py:81-85 registers both)."""
+        """Load from a local `speech_tokenizer/` checkpoint dir or a HF Hub
+        model id. Dispatches on config model_type between the 12Hz (v2) and
+        25Hz (v1) tokenizers (reference qwen3_tts_tokenizer.py:81-85
+        registers both)."""
         import json
 
+        from .tts_model import Qwen3TTSModel
+
+        model_dir = Qwen3TTSModel._resolve_model_dir(model_dir)
         with open(os.path.join(model_dir, "config.json")) as f:
             model_type = json.load(f).get("model_type", "qwen3_tts_tokenizer_12hz")
         if "25hz" in model_type:

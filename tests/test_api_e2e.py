@@ -153,3 +153,48 @@ def test_int8_kernel_quantization_option(tmp_path_factory):
     with pytest.raises(ValueError, match="unknown quantization"):
         Qwen3TTSModel.from_pretrained(d, load_processor=False,
                                       quantization="int4")
+
+
+def test_hub_id_resolution_error(monkeypatch):
+    """A non-local model id goes through hub resolution (reference
+    modeling_qwen3_tts.py:55-92); offline it must fail with a clear
+    FileNotFoundError naming the id, not an opaque network stack trace."""
+    monkeypatch.setenv("HF_HUB_OFFLINE", "1")
+    with pytest.raises(FileNotFoundError, match="Qwen/NoSuchModel"):
+        Qwen3TTSModel.from_pretrained("Qwen/NoSuchModel-12Hz")
+    with pytest.raises(FileNotFoundError, match="Qwen/NoSuchModel"):
+        Qwen3TTSTokenizer.from_pretrained("Qwen/NoSuchModel-Tokenizer-12Hz")
+
+
+def test_tokenizer_reconstruction_guardrail_row(base_model):
+    """The BASELINE.md tokenizer-reconstruction row (PESQ-WB/NB, STOI, SIM)
+    drives encode->decode via the tokenizer protocol and scores it
+    (reference README.md:1326-1335 protocol). The tiny test codec only
+    upsamples 8x/frame (too short for PESQ/STOI windows), so the round-trip
+    itself is stubbed with a noisy passthrough; codec numerics are covered
+    by test_codec_parity."""
+    from qwen3_tts_tpu.eval.baseline_eval import tokenizer_reconstruction_row
+
+    rng = np.random.RandomState(0)
+    t = np.arange(48000) / 24000.0
+    wav = (0.2 * np.sin(2 * np.pi * 220 * t) * (0.5 + 0.5 * np.sin(2 * np.pi * 3 * t))
+           + 0.01 * rng.randn(48000)).astype(np.float32)
+
+    class _NoisyRoundtrip:
+        def encode(self, items):
+            return {"audio_codes": [np.zeros((len(items), 4), np.int32)]}
+
+        def decode(self, enc):
+            class _Out:
+                audio_values = [wav + 0.02 * rng.randn(len(wav)).astype(np.float32)]
+            return _Out()
+
+    row = tokenizer_reconstruction_row(
+        _NoisyRoundtrip(), [wav], 24000, base_model=base_model,
+        mos_predictor=lambda wav, sr: 4.0)
+    assert set(row) >= {"pesq_wb", "pesq_nb", "stoi", "sim", "utmos"}
+    assert 1.0 <= row["pesq_wb"] <= 4.5 and 1.0 <= row["pesq_nb"] <= 4.5
+    assert -1.0 <= row["stoi"] <= 1.0
+    assert -1.0 <= row["sim"] <= 1.0
+    assert row["utmos"] == 4.0
+    assert row["pesq_certified"] is False  # no ITU pesq package in this env

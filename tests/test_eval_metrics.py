@@ -38,3 +38,109 @@ def test_different_content_scores_badly():
 if __name__ == "__main__":
     import sys
     sys.exit(pytest.main([__file__, "-q", "-x"]))
+
+
+# ---------------------------------------------------------------------------
+# BASELINE guardrail metrics (VERDICT r1 item 5): STOI, PESQ, WER, driver
+# ---------------------------------------------------------------------------
+
+def _speechlike(seed=0, n=48000, sr=24000):
+    """Amplitude-modulated multi-tone with pauses: enough structure for
+    STOI's silence removal + correlation to behave like speech."""
+    rng = np.random.RandomState(seed)
+    t = np.arange(n) / sr
+    env = 0.5 * (1 + np.sin(2 * np.pi * 3.1 * t))  # syllabic 3 Hz modulation
+    x = np.zeros(n)
+    for f in (180, 420, 950, 1700, 2600):
+        x += rng.uniform(0.2, 1.0) * np.sin(2 * np.pi * f * t + rng.uniform(0, 6))
+    x *= env
+    x[:1200] = 0.0
+    x[-1200:] = 0.0
+    return (0.2 * x / np.max(np.abs(x))).astype(np.float32)
+
+
+def test_stoi_bounds_and_ordering():
+    from qwen3_tts_tpu.eval.stoi import stoi
+
+    x = _speechlike()
+    rng = np.random.RandomState(3)
+    assert stoi(x, x, 24000) > 0.999
+    slight = (x + 0.005 * rng.randn(len(x))).astype(np.float32)
+    heavy = (x + 0.15 * rng.randn(len(x))).astype(np.float32)
+    s_id, s_sl, s_hv = stoi(x, x, 24000), stoi(x, slight, 24000), stoi(x, heavy, 24000)
+    assert s_id > s_sl > s_hv
+    assert s_hv < 0.9
+
+
+def test_stoi_too_short_raises():
+    from qwen3_tts_tpu.eval.stoi import stoi
+
+    x = _speechlike(n=2000)
+    with pytest.raises(ValueError, match="too short"):
+        stoi(x, x, 24000)
+
+
+def test_pesq_approx_bounds_and_ordering():
+    from qwen3_tts_tpu.eval.pesq import pesq_approx, pesq_score
+
+    x = _speechlike(seed=1)
+    rng = np.random.RandomState(5)
+    for mode in ("wb", "nb"):
+        clean = pesq_approx(x, x, 24000, mode)
+        assert clean == 4.5  # identical signals: zero disturbance
+        slight = pesq_approx(x, (x + 0.01 * rng.randn(len(x))).astype(np.float32),
+                             24000, mode)
+        heavy = pesq_approx(x, (x + 0.2 * rng.randn(len(x))).astype(np.float32),
+                            24000, mode)
+        assert clean > slight > heavy
+        assert heavy >= 1.0
+    r = pesq_score(x, x, 24000, "wb")
+    assert r["mode"] == "wb" and isinstance(r["certified"], bool)
+    with pytest.raises(ValueError, match="mode"):
+        pesq_approx(x, x, 24000, "xb")
+
+
+def test_wer_cases():
+    from qwen3_tts_tpu.eval.wer import (mixed_error_rate, normalize_text,
+                                        word_error_rate)
+
+    assert word_error_rate("Hello, World!", "hello world") == 0.0
+    assert word_error_rate("a b c d", "a x c d") == 0.25
+    assert word_error_rate("a b c d", "a b c") == 0.25       # deletion
+    assert word_error_rate("a b c", "a b c d") == pytest.approx(1 / 3)
+    # char-level for zh
+    assert word_error_rate("你好世界", "你好地界", "chinese") == 0.25
+    assert normalize_text("你好 世界", "chinese") == list("你好世界")
+    # MER: CJK chars + latin words in one alignment
+    assert mixed_error_rate("hello 世界", "hello 世界") == 0.0
+    assert mixed_error_rate("hello 世界", "hallo 世界") == pytest.approx(1 / 3)
+
+
+def test_transcription_gate_with_stub_asr():
+    from qwen3_tts_tpu.eval.wer import TranscriptionGate
+
+    gate = TranscriptionGate(lambda wav, sr, lang: "hello world")
+    r = gate.score(np.zeros(100, np.float32), 24000, "Hello, world!")
+    assert r["wer"] == 0.0
+    b = gate.score_batch([np.zeros(10)] * 2, 24000,
+                         ["hello world", "hello there"], ["english"] * 2)
+    assert b["wer"] == pytest.approx(0.25)  # 0.0 and 0.5 averaged
+
+
+def test_run_baseline_eval_driver():
+    from qwen3_tts_tpu.eval.baseline_eval import EvalPair, run_baseline_eval
+
+    x = _speechlike(seed=2)
+    pairs = [EvalPair(syn=x, sr=24000, text="hello world", language="english"),
+             EvalPair(syn=x, sr=24000, text="你好 hello", language="zh-en",
+                      mixed=True)]
+    report = run_baseline_eval(
+        pairs=pairs,
+        asr=lambda wav, sr, lang: "hello world" if lang == "english" else "你好 hello",
+        judge=lambda wav, sr, text, ins: {"aps": 80.0, "dsd": 75.0, "rp": 60.0},
+        instructs=["speak warmly", "speak fast"])
+    assert report.rows["wer_by_language"]["english"] == 0.0
+    assert report.rows["mer_cross_lingual"]["overall"] == 0.0
+    assert report.rows["instruct_tts_eval"] == {"aps": 80.0, "dsd": 75.0, "rp": 60.0}
+    md = report.to_markdown()
+    assert "wer_by_language" in md and "| Metric | Value |" in md
