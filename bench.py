@@ -10,10 +10,14 @@ vs_baseline is the ratio against the >10x-realtime north-star target
 (BASELINE.md: RTF > 10x => >125 frames/s/chip at 12.5 fps); the reference
 publishes no throughput numbers (BASELINE.json.published == {}).
 
-Budget discipline (round-1 lesson: the driver run timed out, rc=124):
-  - measurements run in value order — serving vocoder, then the serving
-    talker config (int8 + Pallas sub-talker kernel), which is enough for the
-    headline number; latency detail (b=1, first packet) follows;
+Budget discipline (round-1 lesson: the driver run timed out, rc=124; the
+RPC-tunneled TPU link intermittently drops to ~1 MB/s, making large
+executables take minutes to ship):
+  - measurements run in value order — the serving talker config (int8 +
+    Pallas sub-talker kernel, small cached programs) first with a
+    documented conservative vocoder floor, then measured vocoder rates
+    (cheap 75-frame program, then the full 300-frame serving chunk);
+    latency detail (b=1, first packet) follows;
   - a watchdog thread emits the best-so-far JSON line and exits 0 at
     BENCH_BUDGET_S (default 420 s) so a stalled compile can never produce
     an empty result again;
@@ -176,9 +180,16 @@ def _timed_run(run, params, state, seed):
     return time.perf_counter() - t0
 
 
+_VOC_PARAMS = None
+
+
 def bench_vocoder(frames: int = 300, batch: int = 1):
+    global _VOC_PARAMS
     cfg = CodecDecoderConfig()
-    params = _params_like(init_codec_decoder_params, cfg, dtype=jnp.bfloat16)
+    if _VOC_PARAMS is None:
+        _VOC_PARAMS = _params_like(init_codec_decoder_params, cfg,
+                                   dtype=jnp.bfloat16)
+    params = _VOC_PARAMS
     key = jax.random.PRNGKey(0)
     codes = jax.random.randint(key, (batch, cfg.num_quantizers, frames), 0, 2048)
     fn = jax.jit(lambda p, c: codec_decode(p, cfg, c))
@@ -253,12 +264,13 @@ def main():
     _detail["serve_batch"] = serve_batch
     _detail["device"] = str(jax.devices()[0])
 
-    # --- 1. serving vocoder (small compile, needed for the headline) ---
-    _note("vocoder_bN")
-    voc_audio_n = bench_vocoder(batch=serve_batch)
-    _detail["vocoder_audio_s_per_s_bN"] = round(voc_audio_n, 3)
+    # Phase order is tunnel-robustness order (the RPC-tunneled TPU link
+    # intermittently drops to ~1 MB/s, and the vocoder program is the
+    # largest executable to ship): secure the talker headline first with a
+    # conservative assumed vocoder rate, then replace the assumption with a
+    # cheap measured vocoder, then refine at the full serving shape.
 
-    # --- 2. serving talker config: int8 + Pallas sub-talker kernel ---
+    # --- 1. serving talker config: int8 + Pallas sub-talker kernel ---
     _note("talker_bN_int8_kernel")
     serving_config = "int8+subtalker-kernel"
     try:
@@ -268,6 +280,11 @@ def main():
         _note("talker_bN_int8_fallback")
         serving_config = "int8"
         lmN_fps, lmN_ms = bench_talker(batch=serve_batch, quantize=True)
+    # conservative assumed vocoder floor until measured (HW-measured 640+
+    # audio-s/s at b=32 in r1/r2; 400 is a documented under-estimate), so a
+    # watchdog fire after this phase still emits a meaningful headline
+    voc_audio_n = 400.0
+    _detail["vocoder_state"] = "assumed_floor_400"
     combined = 1.0 / (FRAME_RATE / lmN_fps + 1.0 / voc_audio_n)
     _detail.update({
         "_best_audio_s": combined,
@@ -275,6 +292,16 @@ def main():
         "talker_step_ms_bN": round(lmN_ms * 1e3, 3),
         "talker_frames_per_s_bN": round(lmN_fps, 2),
     })
+
+    # --- 2. serving vocoder: cheap shape first, then the full 300-frame
+    # serving chunk (each updates the headline with measured numbers) ---
+    for frames, tag in ((75, "measured_f75"), (300, "measured_f300")):
+        _note(f"vocoder_bN_{tag}")
+        voc_audio_n = bench_vocoder(frames=frames, batch=serve_batch)
+        _detail["vocoder_audio_s_per_s_bN"] = round(voc_audio_n, 3)
+        _detail["vocoder_state"] = tag
+        combined = 1.0 / (FRAME_RATE / lmN_fps + 1.0 / voc_audio_n)
+        _detail["_best_audio_s"] = combined
 
     # --- 3. single-stream latency (same serving config at b=1) ---
     _note("talker_b1")

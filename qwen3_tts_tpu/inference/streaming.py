@@ -95,7 +95,8 @@ class StreamingSession:
     def __init__(self, model, prompt: AssembledPrompt, sampling: SamplingConfig,
                  sub_sampling: SamplingConfig, max_frames: int = 2048,
                  burst_frames: int = 4, emit_chunk_frames: int = 4,
-                 left_context: int = 25, seed: Optional[int] = None):
+                 left_context: int = 25, seed: Optional[int] = None,
+                 prefix_codes: Optional[np.ndarray] = None):
         self.model = model
         self.cfg: TTSConfig = model.config
         self.prompt = prompt
@@ -106,6 +107,13 @@ class StreamingSession:
         self.emit_chunk_frames = emit_chunk_frames
         self.left_context = left_context
         self.seed = seed
+        # ICL voice clone: the reference vocodes [ref_codes; generated] and
+        # cuts the ref portion of the waveform (qwen3_tts_model.py:612-632);
+        # streaming reproduces that by seeding the chunked vocoder's left
+        # context with the ref codes and emitting from the boundary on
+        self.prefix_codes = (np.asarray(prefix_codes, np.int32)
+                             if prefix_codes is not None
+                             and len(prefix_codes) else None)
         self.metrics = StreamMetrics()
 
     def __iter__(self) -> Iterator[np.ndarray]:
@@ -143,6 +151,9 @@ class StreamingSession:
 
         frames_buf: list[np.ndarray] = []
         emitted = 0
+        if self.prefix_codes is not None:
+            frames_buf.append(self.prefix_codes)
+            emitted = len(self.prefix_codes)  # ref audio is never emitted
         done = False
         pending = first_frames
         while not done and self.metrics.frames < self.max_frames:
@@ -200,7 +211,8 @@ def vocode_range(model, frames: np.ndarray, start: int, end: int,
 
 
 def _session_from_prompt(model, prompt, gk: dict, emit_chunk_frames: int,
-                         burst_frames: int, seed) -> "StreamingSession":
+                         burst_frames: int, seed,
+                         prefix_codes=None) -> "StreamingSession":
     sampling = SamplingConfig(
         do_sample=bool(gk["do_sample"]), top_k=int(gk["top_k"]),
         top_p=float(gk["top_p"]), temperature=float(gk["temperature"]),
@@ -212,7 +224,8 @@ def _session_from_prompt(model, prompt, gk: dict, emit_chunk_frames: int,
     return StreamingSession(model, prompt, sampling, sub,
                             max_frames=int(gk["max_new_tokens"]) - 1,
                             burst_frames=burst_frames,
-                            emit_chunk_frames=emit_chunk_frames, seed=seed)
+                            emit_chunk_frames=emit_chunk_frames, seed=seed,
+                            prefix_codes=prefix_codes)
 
 
 def stream_custom_voice(model, text: str, speaker: str, language: str = "auto",
@@ -262,8 +275,10 @@ def stream_voice_clone(model, text: str, voice_clone_prompt,
                        burst_frames: int = 4, seed: Optional[int] = None,
                        **kwargs) -> StreamingSession:
     """Streaming voice clone from prebuilt VoiceClonePromptItem(s) (Base
-    checkpoints). Note: emitted audio is the continuation only (no ref-code
-    prepend/cut — the reference applies those in the offline decode path)."""
+    checkpoints). In ICL mode the ref codes seed the chunked vocoder's left
+    context and the ref portion is never emitted, reproducing the reference's
+    offline prepend-then-cut decode (qwen3_tts_model.py:612-632) at the
+    stream's chunk granularity."""
     from ..models.generation import assemble_prompts
 
     model._validate_languages([language])
@@ -278,5 +293,8 @@ def stream_voice_clone(model, text: str, voice_clone_prompt,
     prompt = assemble_prompts(model.talker_params, model.config, input_ids,
                               [language], None, None, ref_ids, vcp,
                               non_streaming_mode=False)
+    prefix = None
+    if items[0].icl_mode and items[0].ref_code is not None:
+        prefix = np.asarray(items[0].ref_code, np.int32)
     return _session_from_prompt(model, prompt, gk, emit_chunk_frames,
-                                burst_frames, seed)
+                                burst_frames, seed, prefix_codes=prefix)

@@ -145,10 +145,22 @@ def pack_talker_params(params: dict) -> dict:
     cp = dict(params["code_predictor"])
     cp["packed"] = pack_predictor_weights(cp["layers"], cp["layers"]["norm"])
     if "lm_heads_q" in cp:
-        # single-dispatch frame megakernel (used when batch <= MAX_B and
-        # subtalker top_p == 1.0; falls back to the micro-step kernel else)
+        # single-dispatch frame megakernel (used when batch <= MAX_B=64,
+        # covering the b=32 serving config; micro-step kernel fallback else)
         cp["frame_packed"] = pack_frame_weights(cp, cp["lm_heads_q"].shape[2])
     p["code_predictor"] = cp
+    # enable the fused talker-step kernel (ops/talker_step.py) when the
+    # talker-stack geometry is tileable; it consumes the fused+int8 layout
+    # in place (no repacking), so this is just a capability flag
+    ly = p.get("layers", {})
+    if "qkv_proj_q" in ly and "codec_head_q" in p:
+        dims = (ly["qkv_proj_q"].shape[1], ly["qkv_proj_q"].shape[2],
+                ly["o_proj_q"].shape[1], ly["gate_up_proj_q"].shape[2],
+                ly["down_proj_q"].shape[1], p["codec_head_q"].shape[1])
+        if all(dim % 1024 == 0 for dim in dims):
+            # zero-leaf marker: key presence gates the kernel statically
+            # under jit (a bool leaf would become a tracer)
+            p["talker_kernel"] = ()
     return p
 
 
@@ -199,8 +211,8 @@ def _code_predictor_generate_frame(
         past_hidden.astype(jnp.bfloat16), first_embed.astype(jnp.bfloat16),
         cos, sin, gumbel, num_layers=spec.num_layers,
         eps=spec.rms_norm_eps, vocab=vocab, top_k=sampling.top_k,
-        temperature=sampling.temperature, do_sample=sampling.do_sample,
-        interpret=interpret)
+        top_p=sampling.top_p, temperature=sampling.temperature,
+        do_sample=sampling.do_sample, interpret=interpret)
     return codes, esum.astype(past_hidden.dtype)
 
 
@@ -221,8 +233,7 @@ def _code_predictor_generate_fused(
     from ..ops.subtalker_step import CACHE_S, fused_subtalker_microstep
 
     if ("frame_packed" in params["code_predictor"]
-            and past_hidden.shape[0] <= MAX_B
-            and (not sampling.do_sample or sampling.top_p >= 1.0)):
+            and past_hidden.shape[0] <= MAX_B):
         return _code_predictor_generate_frame(
             params, cfg, past_hidden, first_embed, key, sampling)
 
@@ -449,11 +460,34 @@ def talker_decode_step(
 
     positions = (state.cache.index - state.num_pads)[:, None]  # (B, 1)
     cos, sin = rope_cos_sin(positions, inv_freq, x.dtype)
-    mask = cache_attention_mask(pad_mask_full, 1, state.cache.index,
-                                state.cache.max_len, spec.sliding_window)
-    h, cache = stack_forward(spec, params["layers"], x, cos, sin, mask, state.cache)
-    last_h = h[:, -1]
-    logits = _head(params, "codec_head", last_h).astype(jnp.float32)
+    # fused single-dispatch talker step (all layers + codec head in one
+    # Pallas program, ops/talker_step.py) when enabled and the staged KV
+    # blocks fit VMEM; the XLA scan path otherwise
+    use_step_kernel = (
+        "talker_kernel" in params
+        and spec.sliding_window is None
+        and b * state.cache.max_len <= 7680)
+    if use_step_kernel:
+        from ..ops.talker_step import fused_talker_step
+
+        last_h, logits, kc, vc = fused_talker_step(
+            params["layers"], params["layers"]["norm"],
+            params["codec_head_q"],
+            params["codec_head_s"],
+            x[:, 0].astype(jnp.bfloat16), cos[:, 0], sin[:, 0],
+            pad_mask_full, state.cache.index,
+            spec.num_layers, spec.rms_norm_eps,
+            state.cache.k, state.cache.v,
+            interpret=jax.default_backend() == "cpu")
+        cache = KVCache(k=kc, v=vc, index=state.cache.index + 1)
+        last_h = last_h.astype(x.dtype)
+    else:
+        mask = cache_attention_mask(pad_mask_full, 1, state.cache.index,
+                                    state.cache.max_len, spec.sliding_window)
+        h, cache = stack_forward(spec, params["layers"], x, cos, sin, mask,
+                                 state.cache)
+        last_h = h[:, -1]
+        logits = _head(params, "codec_head", last_h).astype(jnp.float32)
 
     key, sub = jax.random.split(key)
     block_eos = (state.step + 1) < 2  # (B,) min_new_tokens=2

@@ -26,10 +26,21 @@ per-codebook embedding gathers — into ONE pallas dispatch:
     `jax.random.gumbel(sub, (b, vocab))` per step (zeros for greedy), so
     sampled tokens match the XLA path draw-for-draw.
 
+Sampling supports temperature, top-k AND nucleus top-p fully in-kernel:
+both thresholds (the k-th largest logit and the smallest nucleus-kept
+logit) are found by value bisection — no sort needed — reproducing
+`apply_top_k`/`apply_top_p` masking exactly on tie-free logits.
+
+Batch: the KV scratch stays VMEM-resident for the whole frame at any
+batch up to MAX_B=64 (~0.66 MB per batch row at 5L/8kv/32slots/d128);
+the kernel always sets `CompilerParams(vmem_limit_bytes=...)` from a
+computed buffer-size estimate (v5e has 128 MB physical VMEM — the
+16 MB default is a scheduling default, not the hardware bound). This
+covers the b=32 serving config in ONE dispatch per frame.
+
 Restrictions (callers fall back to the per-micro-step kernel otherwise):
-production predictor geometry (1024 hidden / 3072 inter / 16q/8kv / d128),
-batch <= MAX_B (VMEM-resident KV), subtalker top_p == 1.0 (the checkpoint
-default; nucleus filtering needs a sort we keep at the XLA level).
+production predictor geometry (1024 hidden / 3072 inter / 16q/8kv / d128)
+and batch <= MAX_B.
 """
 
 from __future__ import annotations
@@ -43,7 +54,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .subtalker_step import CACHE_S, D, H, INTER, NKV, NQ, NTILES, QD, TILE
 
-MAX_B = 4           # VMEM-resident KV bound (k+v: 2*L*B*NKV*CACHE_S*D bf16)
+MAX_B = 64          # VMEM-resident KV bound (k+v: 2*L*B*NKV*CACHE_S*D bf16)
 N_STEPS = 15        # residual codebooks (num_code_groups - 1)
 N_POS = N_STEPS + 1  # micro-forwards per frame
 NEG = -1e9          # matches nn.sampling.NEG_INF
@@ -104,7 +115,7 @@ def _frame_kernel(past_ref, first_ref, cos_ref, sin_ref, gumbel_ref,
                   codes_ref, esum_ref,
                   wbuf, hbuf, kscr, vscr, erow, wsem, hsem, esem,
                   *, num_layers: int, eps: float, vocab: int, top_k: int,
-                  temperature: float, do_sample: bool):
+                  top_p: float, temperature: float, do_sample: bool):
     b, ht = past_ref.shape  # talker hidden width (mtp bridges ht -> H)
     vp = gumbel_ref.shape[2]
     scaling = D ** -0.5
@@ -262,6 +273,30 @@ def _frame_kernel(past_ref, first_ref, cos_ref, sin_ref, gumbel_ref,
                     hi = jnp.where(ge, hi, mid)
                 kth = jnp.where(cnt_ge(hi) >= top_k, hi, lo)
                 logits = jnp.where(logits < kth, NEG, logits)
+            if 0.0 < top_p < 1.0:
+                # nucleus threshold by bisection: XLA's apply_top_p keeps
+                # token i iff the prob mass strictly above it is < top_p,
+                # then masks logits < (smallest kept logit) — the kept set
+                # is the upper set {logits > lo*} where lo* is the largest
+                # value whose strictly-above mass is still >= top_p
+                mx = jnp.max(jnp.where(valid, logits, -jnp.inf), axis=-1,
+                             keepdims=True)
+                ex = jnp.where(valid, jnp.exp(logits - mx), 0.0)
+                probs = ex / jnp.sum(ex, axis=-1, keepdims=True)
+
+                def tail_mass(t):
+                    return jnp.sum(jnp.where(logits > t, probs, 0.0),
+                                   axis=-1, keepdims=True)
+
+                plo = jnp.min(jnp.where(valid, logits, jnp.inf), axis=-1,
+                              keepdims=True) - 1.0
+                phi = mx
+                for _ in range(_BISECT_ITERS):
+                    mid = 0.5 * (plo + phi)
+                    below = tail_mass(mid) < top_p
+                    plo = jnp.where(below, plo, mid)
+                    phi = jnp.where(below, mid, phi)
+                logits = jnp.where(logits > plo, logits, NEG)
 
         z = logits + gumbel_ref[step]
         m = jnp.max(z, axis=-1, keepdims=True)
@@ -294,14 +329,30 @@ def _frame_kernel(past_ref, first_ref, cos_ref, sin_ref, gumbel_ref,
     esum_ref[:] = esum.astype(esum_ref.dtype)
 
 
+def _vmem_estimate(b: int, ht: int, vp: int, num_layers: int) -> int:
+    """Upper-bound VMEM bytes for the kernel's scratch + VMEM-resident inputs
+    (activations/sampling temporaries get a 50% + 8MB allowance)."""
+    kv = 2 * num_layers * b * NKV * CACHE_S * D * 2
+    bufs = (NWBUF * TILE * TILE          # weight tiles (int8)
+            + 2 * H * vp                 # lm_head double buffer (int8)
+            + b * EMB_WIN * ht * 2)      # embedding-row windows (bf16)
+    inputs = (N_STEPS * b * vp * 4       # gumbel (f32)
+              + ht * H * 2               # mtp_w (bf16)
+              + num_layers * NTILES * TILE * 4  # scales (f32)
+              + 4 * b * vp * 4)          # logits/probs temporaries (f32)
+    est = kv + bufs + inputs
+    return est + est // 2 + (8 << 20)
+
+
 @functools.partial(jax.jit, static_argnames=(
-    "num_layers", "eps", "vocab", "top_k", "temperature", "do_sample",
-    "interpret"))
+    "num_layers", "eps", "vocab", "top_k", "top_p", "temperature",
+    "do_sample", "interpret"))
 def fused_subtalker_frame(packed: dict, frame_packed: dict,
                           past_hidden: jax.Array, first_embed: jax.Array,
                           cos: jax.Array, sin: jax.Array, gumbel: jax.Array,
                           num_layers: int = 5, eps: float = 1e-6,
                           vocab: int = 2048, top_k: int = 50,
+                          top_p: float = 1.0,
                           temperature: float = 0.9, do_sample: bool = True,
                           interpret: bool = False):
     """All 15 residual-codebook samples for one frame in one dispatch.
@@ -319,9 +370,12 @@ def fused_subtalker_frame(packed: dict, frame_packed: dict,
 
     kernel = functools.partial(
         _frame_kernel, num_layers=num_layers, eps=eps, vocab=vocab,
-        top_k=top_k, temperature=temperature, do_sample=do_sample)
+        top_k=top_k, top_p=top_p, temperature=temperature,
+        do_sample=do_sample)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     any_ = pl.BlockSpec(memory_space=pl.ANY)
+    limit = min(max(_vmem_estimate(b, ht, vp, num_layers), 24 << 20), 100 << 20)
+    compiler_params = pltpu.CompilerParams(vmem_limit_bytes=limit)
 
     codes, esum = pl.pallas_call(
         kernel,
@@ -341,6 +395,7 @@ def fused_subtalker_frame(packed: dict, frame_packed: dict,
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((b,)),
         ],
+        compiler_params=compiler_params,
         interpret=interpret,
     )(past_hidden, first_embed, cos, sin, gumbel,
       packed["scales"], packed["in_ln"], packed["post_ln"],
