@@ -207,7 +207,7 @@ def _code_predictor_generate_frame(
         gumbel = jnp.zeros((N_STEPS, b, vp), jnp.float32)
 
     codes, esum = fused_subtalker_frame(
-        p["packed"], fp,
+        p["layers"], fp,
         past_hidden.astype(jnp.bfloat16), first_embed.astype(jnp.bfloat16),
         cos, sin, gumbel, num_layers=spec.num_layers,
         eps=spec.rms_norm_eps, vocab=vocab, top_k=sampling.top_k,
@@ -463,10 +463,12 @@ def talker_decode_step(
     # fused single-dispatch talker step (all layers + codec head in one
     # Pallas program, ops/talker_step.py) when enabled and the staged KV
     # blocks fit VMEM; the XLA scan path otherwise
+    # batch is streamed through the kernel in KV sub-tiles, so the gate is
+    # generous: serving batches (b<=64) and production cache lengths qualify
     use_step_kernel = (
         "talker_kernel" in params
         and spec.sliding_window is None
-        and b * state.cache.max_len <= 7680)
+        and b <= 64 and state.cache.max_len <= 4096)
     if use_step_kernel:
         from ..ops.talker_step import fused_talker_step
 

@@ -52,18 +52,14 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .subtalker_step import CACHE_S, D, H, INTER, NKV, NQ, NTILES, QD, TILE
+from .subtalker_step import CACHE_S, D, H, INTER, NKV, NQ, QD
+from .tilestream import TileStream, plan_groups, plan_matrix
 
 MAX_B = 64          # VMEM-resident KV bound (k+v: 2*L*B*NKV*CACHE_S*D bf16)
 N_STEPS = 15        # residual codebooks (num_code_groups - 1)
 N_POS = N_STEPS + 1  # micro-forwards per frame
 NEG = -1e9          # matches nn.sampling.NEG_INF
 EMB_WIN = 16        # aligned HBM window per embedding-row gather
-# weight-tile VMEM slots (NWBUF-1 DMAs in flight). Measured on v5e at the
-# default 16M scoped-vmem limit: NWBUF=2 compiles, NWBUF=6 OOMs (19.98M
-# requested); intermediate values untested — revisit alongside
-# CompilerParams(vmem_limit_bytes=...) if the weight stream ever stalls.
-NWBUF = 2
 _BISECT_ITERS = 40
 
 
@@ -108,45 +104,46 @@ def _rope1(x, cos, sin):
     return (xf * c + rot * s).astype(x.dtype)
 
 
+def _frame_plan(num_layers: int) -> list:
+    """Weight-DMA schedule: N_POS micro-forwards of the full stack, whole
+    matrices (or ~4 MB slices) per tile from the fused+int8 cp layout."""
+    sched = []
+    for _pos in range(N_POS):
+        for l in range(num_layers):
+            plan_matrix(sched, "qkv", l, H, QD + 2 * NKV * D)
+            plan_matrix(sched, "o", l, QD, H)
+            plan_matrix(sched, "gu", l, H, 2 * INTER)
+            plan_matrix(sched, "down", l, INTER, H)
+    return sched
+
+
 def _frame_kernel(past_ref, first_ref, cos_ref, sin_ref, gumbel_ref,
-                  scales_ref, in_ln_ref, post_ln_ref, qn_ref, kn_ref, fn_ref,
+                  in_ln_ref, post_ln_ref, qn_ref, kn_ref, fn_ref,
                   mtpw_ref, mtpb_ref, hs_ref,
-                  tiles_ref, hq_ref, emb_ref,
+                  qkv_s_ref, o_s_ref, gu_s_ref, down_s_ref,
+                  qkv_q_ref, o_q_ref, gu_q_ref, down_q_ref, hq_ref, emb_ref,
                   codes_ref, esum_ref,
-                  wbuf, hbuf, kscr, vscr, erow, wsem, hsem, esem,
-                  *, num_layers: int, eps: float, vocab: int, top_k: int,
+                  *scratch,
+                  num_layers: int, eps: float, vocab: int, top_k: int,
                   top_p: float, temperature: float, do_sample: bool):
     b, ht = past_ref.shape  # talker hidden width (mtp bridges ht -> H)
     vp = gumbel_ref.shape[2]
     scaling = D ** -0.5
-    per_fwd = num_layers * NTILES
-    total = N_POS * per_fwd
 
-    def wdma(i):
-        l, t = divmod(i % per_fwd, NTILES)
-        return pltpu.make_async_copy(tiles_ref.at[l, t], wbuf.at[i % NWBUF],
-                                     wsem.at[i % NWBUF])
+    sched = _frame_plan(num_layers)
+    shapes, slot_of, nxt, prime = plan_groups(sched)
+    ns = len(shapes)
+    hbuf, kscr, vscr, erow, hsem, esem = scratch[2 * ns:]
+    arrays = {"qkv": qkv_q_ref, "o": o_q_ref, "gu": gu_q_ref,
+              "down": down_q_ref}
+    stream = TileStream(sched, shapes, slot_of, nxt, prime, arrays,
+                        scratch[:ns], scratch[ns:2 * ns])
 
     def hdma(s):
         return pltpu.make_async_copy(hq_ref.at[s], hbuf.at[s % 2],
                                      hsem.at[s % 2])
 
-    # deep weight pipeline: keep NWBUF-1 tile DMAs in flight so the stream
-    # rides over per-layer attention/norm and per-step sampling bubbles
-    for i in range(NWBUF - 1):
-        wdma(i).start()
     hdma(0).start()
-
-    tile_i = 0
-
-    def next_tile():
-        nonlocal tile_i
-        i = tile_i
-        if i + NWBUF - 1 < total:
-            wdma(i + NWBUF - 1).start()
-        wdma(i).wait()
-        tile_i += 1
-        return wbuf[i % NWBUF].astype(jnp.bfloat16)
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (b, vp), 1)
     valid = lane < vocab
@@ -170,17 +167,15 @@ def _frame_kernel(past_ref, first_ref, cos_ref, sin_ref, gumbel_ref,
         for l in range(num_layers):
             h = _rms(x, in_ln_ref[l], eps)
 
-            parts = []
-            for t in range(4):
-                w = next_tile()
-                y = jnp.dot(h, w, preferred_element_type=jnp.float32)
-                parts.append(y * scales_ref[l, t][None, :])
-            q = jnp.concatenate(parts[0:2], axis=-1).reshape(b, NQ, D)
-            k = parts[2].reshape(b, NKV, D)
-            v = parts[3].reshape(b, NKV, D)
+            kvd = NKV * D
+            qkv = stream.matmul(b, h, H, QD + 2 * kvd,
+                                qkv_s_ref[l].astype(jnp.float32))
+            q = qkv[:, :QD].astype(jnp.bfloat16).reshape(b, NQ, D)
+            k = qkv[:, QD:QD + kvd].astype(jnp.bfloat16).reshape(b, NKV, D)
+            v = qkv[:, QD + kvd:].astype(jnp.bfloat16).reshape(b, NKV, D)
 
-            q = _rms(q.astype(jnp.bfloat16), qn_ref[l], eps)
-            k = _rms(k.astype(jnp.bfloat16), kn_ref[l], eps)
+            q = _rms(q, qn_ref[l], eps)
+            k = _rms(k, kn_ref[l], eps)
             q = _rope1(q, cos, sin)
             k = _rope1(k, cos, sin)
 
@@ -206,33 +201,19 @@ def _frame_kernel(past_ref, first_ref, cos_ref, sin_ref, gumbel_ref,
                 p, vf, (((2,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32).reshape(b, NQ, D)
 
-            acc = jnp.zeros((b, H), jnp.float32)
-            for t in range(2):
-                w = next_tile()
-                x_t = ctx[:, t * 8:(t + 1) * 8, :].reshape(b, TILE)
-                acc = acc + jnp.dot(x_t.astype(jnp.bfloat16), w,
-                                    preferred_element_type=jnp.float32)
-            x = x + (acc * scales_ref[l, 4][None, :]).astype(x.dtype)
+            attn = stream.matmul(b, ctx.reshape(b, QD).astype(jnp.bfloat16),
+                                 QD, H, o_s_ref[l].astype(jnp.float32))
+            x = x + attn.astype(x.dtype)
 
             h2 = _rms(x, post_ln_ref[l], eps)
-            gates = []
-            for t in range(3):
-                w = next_tile()
-                y = jnp.dot(h2, w, preferred_element_type=jnp.float32)
-                gates.append(y * scales_ref[l, 6 + t][None, :])
-            acts = []
-            for t in range(3):
-                w = next_tile()
-                u = jnp.dot(h2, w, preferred_element_type=jnp.float32)
-                u = u * scales_ref[l, 9 + t][None, :]
-                gg = gates[t]
-                acts.append((gg * jax.nn.sigmoid(gg) * u).astype(jnp.bfloat16))
-            macc = jnp.zeros((b, H), jnp.float32)
-            for t in range(3):
-                w = next_tile()
-                macc = macc + jnp.dot(acts[t], w,
-                                      preferred_element_type=jnp.float32)
-            x = x + (macc * scales_ref[l, 12][None, :]).astype(x.dtype)
+            gu = stream.matmul(b, h2, H, 2 * INTER,
+                               gu_s_ref[l].astype(jnp.float32))
+            gate = gu[:, :INTER]
+            up = gu[:, INTER:]
+            act = (gate * jax.nn.sigmoid(gate) * up).astype(jnp.bfloat16)
+            down = stream.matmul(b, act, INTER, H,
+                                 down_s_ref[l].astype(jnp.float32))
+            x = x + down.astype(x.dtype)
 
         last_h = _rms(x, fn_ref[0], eps)  # (B, H) bf16
 
@@ -329,16 +310,15 @@ def _frame_kernel(past_ref, first_ref, cos_ref, sin_ref, gumbel_ref,
     esum_ref[:] = esum.astype(esum_ref.dtype)
 
 
-def _vmem_estimate(b: int, ht: int, vp: int, num_layers: int) -> int:
+def _vmem_estimate(shapes, b: int, ht: int, vp: int, num_layers: int) -> int:
     """Upper-bound VMEM bytes for the kernel's scratch + VMEM-resident inputs
     (activations/sampling temporaries get a 50% + 8MB allowance)."""
     kv = 2 * num_layers * b * NKV * CACHE_S * D * 2
-    bufs = (NWBUF * TILE * TILE          # weight tiles (int8)
+    bufs = (sum(2 * it * ot for it, ot in shapes)  # weight tiles (int8)
             + 2 * H * vp                 # lm_head double buffer (int8)
             + b * EMB_WIN * ht * 2)      # embedding-row windows (bf16)
     inputs = (N_STEPS * b * vp * 4       # gumbel (f32)
               + ht * H * 2               # mtp_w (bf16)
-              + num_layers * NTILES * TILE * 4  # scales (f32)
               + 4 * b * vp * 4)          # logits/probs temporaries (f32)
     est = kv + bufs + inputs
     return est + est // 2 + (8 << 20)
@@ -347,7 +327,7 @@ def _vmem_estimate(b: int, ht: int, vp: int, num_layers: int) -> int:
 @functools.partial(jax.jit, static_argnames=(
     "num_layers", "eps", "vocab", "top_k", "top_p", "temperature",
     "do_sample", "interpret"))
-def fused_subtalker_frame(packed: dict, frame_packed: dict,
+def fused_subtalker_frame(layers: dict, frame_packed: dict,
                           past_hidden: jax.Array, first_embed: jax.Array,
                           cos: jax.Array, sin: jax.Array, gumbel: jax.Array,
                           num_layers: int = 5, eps: float = 1e-6,
@@ -357,6 +337,8 @@ def fused_subtalker_frame(packed: dict, frame_packed: dict,
                           interpret: bool = False):
     """All 15 residual-codebook samples for one frame in one dispatch.
 
+    layers: the cp stack in the fused+int8 layout (qkv_proj_q (L,1024,4096)
+    int8 + scales etc — streamed directly, no repacking);
     past_hidden/first_embed: (B, H) bf16 — talker last hidden and the
     codebook-0 embedding; cos/sin: (N_POS, D) RoPE rows for positions
     0..15; gumbel: (N_STEPS, B, Vp) f32 — `jax.random.gumbel` draws
@@ -374,7 +356,9 @@ def fused_subtalker_frame(packed: dict, frame_packed: dict,
         do_sample=do_sample)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     any_ = pl.BlockSpec(memory_space=pl.ANY)
-    limit = min(max(_vmem_estimate(b, ht, vp, num_layers), 24 << 20), 100 << 20)
+    shapes, _, _, _ = plan_groups(_frame_plan(num_layers))
+    limit = min(max(_vmem_estimate(shapes, b, ht, vp, num_layers), 24 << 20),
+                100 << 20)
     compiler_params = pltpu.CompilerParams(vmem_limit_bytes=limit)
 
     codes, esum = pl.pallas_call(
@@ -383,23 +367,28 @@ def fused_subtalker_frame(packed: dict, frame_packed: dict,
             jax.ShapeDtypeStruct((b, 128), jnp.int32),
             jax.ShapeDtypeStruct((b, ht), jnp.float32),
         ],
-        in_specs=[vmem] * 14 + [any_, any_, any_],
+        in_specs=[vmem] * 17 + [any_] * 6,
         out_specs=[vmem, vmem],
         scratch_shapes=[
-            pltpu.VMEM((NWBUF, TILE, TILE), jnp.int8),
+            *[pltpu.VMEM((2, it, ot), jnp.int8) for it, ot in shapes],
+            *[pltpu.SemaphoreType.DMA((2,)) for _ in shapes],
             pltpu.VMEM((2, H, vp), jnp.int8),
             pltpu.VMEM((num_layers, b, NKV, CACHE_S, D), jnp.bfloat16),
             pltpu.VMEM((num_layers, b, NKV, CACHE_S, D), jnp.bfloat16),
             pltpu.VMEM((b, EMB_WIN, ht), jnp.bfloat16),
-            pltpu.SemaphoreType.DMA((NWBUF,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((b,)),
         ],
         compiler_params=compiler_params,
         interpret=interpret,
     )(past_hidden, first_embed, cos, sin, gumbel,
-      packed["scales"], packed["in_ln"], packed["post_ln"],
-      packed["q_norm"], packed["k_norm"], packed["final_norm"],
+      layers["input_layernorm"], layers["post_attention_layernorm"],
+      layers["q_norm"], layers["k_norm"],
+      jnp.asarray(layers["norm"]).reshape(1, H),
       frame_packed["mtp_w"], frame_packed["mtp_b"], frame_packed["heads_s"],
-      packed["tiles"], frame_packed["heads_q"], frame_packed["embeds"])
+      layers["qkv_proj_s"][:, 0, :], layers["o_proj_s"][:, 0, :],
+      layers["gate_up_proj_s"][:, 0, :], layers["down_proj_s"][:, 0, :],
+      layers["qkv_proj_q"], layers["o_proj_q"], layers["gate_up_proj_q"],
+      layers["down_proj_q"],
+      frame_packed["heads_q"], frame_packed["embeds"])
     return codes[:, :N_STEPS], esum

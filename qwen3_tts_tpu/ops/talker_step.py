@@ -14,12 +14,18 @@ norm, and the int8 codec_head — as one Pallas program:
 
   - int8 weights stream directly from the fused+quantized parameter layout
     (qkv_proj_q (L,H,QO) / o_proj_q / gate_up_proj_q / down_proj_q int8 +
-    per-out-channel scales) as (1024,1024) tile DMAs with an NWBUF-deep
-    async pipeline — no repacking, the same arrays serve the XLA prefill;
+    per-out-channel scales) — no repacking, the same arrays serve the XLA
+    prefill;
+  - weight DMAs use LARGE adaptive tiles (~4 MB, whole matrices where they
+    fit) with a double-buffered pipeline per tile shape. Tile size is the
+    lever that puts the kernel at the DMA floor: with (1024,1024) tiles the
+    per-tile issue/wait overhead (~2 us) exceeds the ~1.3 us DMA and the
+    step becomes overhead-bound (measured: step time flat in cache length);
+    at ~4 MB per tile the DMA (~5 us) hides all scalar work;
   - the KV cache (layout (L,B,S,NKV,D), shared with the XLA path) is staged
-    per layer HBM->VMEM with double-buffered prefetch (layer l+1's blocks
-    load during layer l's MLP); the new position's k/v are written back as
-    one small DMA per layer — the full block is never written back;
+    per layer HBM->VMEM with double-buffered prefetch; the new position's
+    k/v are written back as one small DMA per layer — the full block is
+    never written back;
   - attention is computed in f32 over the staged block with left-pad +
     causal-slot masking (matches `nn.transformer.cache_attention_mask` for
     q_len=1), GQA via a (B*NKV, G, S) batched matmul;
@@ -27,10 +33,11 @@ norm, and the int8 codec_head — as one Pallas program:
     sampling (repetition penalty over the seen-set, suppress band, top-k/p)
     stays at the XLA level where it is cheap (B x V work).
 
-Geometry is parameterized and assert-checked: hidden/query/kv widths and the
-MLP intermediate must be multiples of the 1024 tile edge — true for both
-production talkers (1.7B: 2048h/6144i, 0.6B: 1024h/3072i, both 16q/8kv/d128,
-reference configuration_qwen3_tts.py:259-451).
+Geometry is parameterized and assert-checked: hidden/query/kv widths, the
+MLP intermediate, and the vocab must be multiples of 256 lanes-and-sublanes
+tiling — true for both production talkers (1.7B: 2048h/6144i/5120v, 0.6B:
+1024h/3072i/5120v, both 16q/8kv/d128, reference
+configuration_qwen3_tts.py:259-451).
 """
 
 from __future__ import annotations
@@ -42,9 +49,32 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TILE = 1024
-NWBUF = 4            # weight-tile VMEM slots (NWBUF-1 DMAs in flight)
+from .tilestream import TileStream, plan_groups, plan_matrix, tile_shape
+
+KV_TILE_BYTES = 4 << 20    # per-batch-tile KV staging target
 NEG = -2.0 ** 30
+
+
+def _batch_tile(b: int, s_max: int, nkv: int, d: int) -> int:
+    """Largest batch sub-tile whose staged KV block fits KV_TILE_BYTES —
+    attention is batch-independent, so large serving batches stream their
+    cache in sub-batches instead of staging (B,S,NKV,D) monolithically."""
+    bt = b
+    while bt > 1 and bt % 2 == 0 and bt * s_max * nkv * d * 2 > KV_TILE_BYTES:
+        bt //= 2
+    return bt
+
+
+def _plan(num_layers, hidden, qd, kvd, inter, vocab):
+    """Static DMA schedule in exact consumption order."""
+    sched = []
+    for l in range(num_layers):
+        plan_matrix(sched, "qkv", l, hidden, qd + 2 * kvd)
+        plan_matrix(sched, "o", l, qd, hidden)
+        plan_matrix(sched, "gu", l, hidden, 2 * inter)
+        plan_matrix(sched, "down", l, inter, hidden)
+    plan_matrix(sched, "head", 0, hidden, vocab)
+    return sched
 
 
 def _rms(x, w, eps):
@@ -69,93 +99,44 @@ def _step_kernel(x_ref, cos_ref, sin_ref, pad_ref, idx_ref,
                  qkv_q_ref, o_q_ref, gu_q_ref, down_q_ref, head_q_ref,
                  kc_ref, vc_ref,
                  h_out_ref, logits_ref, kc_out, vc_out,
-                 wbuf, kbuf, vbuf, knew, vnew,
-                 wsem, ksem, vsem, osem,
-                 *, num_layers: int, eps: float,
+                 *scratch,
+                 num_layers: int, eps: float,
                  nq: int, nkv: int, d: int, inter: int, vocab: int):
     b, hidden = x_ref.shape
     s_max = kc_ref.shape[2]
     scaling = d ** -0.5
     idx = idx_ref[0, 0]
-
-    hi = hidden // TILE                 # in-chunks for H-input matmuls
     qd, kvd = nq * d, nkv * d
-    qo = (qd + 2 * kvd) // TILE         # qkv out-chunks
-    oi = qd // TILE                     # o_proj in-chunks
-    ho = hidden // TILE                 # H out-chunks
-    go = 2 * inter // TILE              # gate_up out-chunks
-    di = inter // TILE                  # down in-chunks
-    vo = vocab // TILE                  # head out-chunks
-    per_layer = hi * qo + oi * ho + hi * go + di * ho
 
-    # static DMA schedule for the whole step: (array, layer, in, out)
-    sched = []
-    for l in range(num_layers):
-        for o in range(qo):
-            for i in range(hi):
-                sched.append(("qkv", l, i, o))
-        for o in range(ho):
-            for i in range(oi):
-                sched.append(("o", l, i, o))
-        for o in range(go):
-            for i in range(hi):
-                sched.append(("gu", l, i, o))
-        for o in range(ho):
-            for i in range(di):
-                sched.append(("down", l, i, o))
-    for o in range(vo):
-        for i in range(hi):
-            sched.append(("head", 0, i, o))
-    total = len(sched)
+    sched = _plan(num_layers, hidden, qd, kvd, inter, vocab)
+    shapes, slot_of, nxt, prime = plan_groups(sched)
+    ns = len(shapes)
+    kbuf, vbuf, knew, vnew, ksem, vsem, osem = scratch[2 * ns:]
     arrays = {"qkv": qkv_q_ref, "o": o_q_ref, "gu": gu_q_ref,
               "down": down_q_ref, "head": head_q_ref}
 
-    def wdma(i):
-        kind, l, ii, oo = sched[i]
-        ref = arrays[kind]
-        if kind == "head":
-            src = ref.at[pl.ds(ii * TILE, TILE), pl.ds(oo * TILE, TILE)]
-        else:
-            src = ref.at[l, pl.ds(ii * TILE, TILE), pl.ds(oo * TILE, TILE)]
-        return pltpu.make_async_copy(src, wbuf.at[i % NWBUF], wsem.at[i % NWBUF])
+    bt = _batch_tile(b, s_max, nkv, d)
+    nbt = b // bt
 
-    def kv_in(l):
-        slot = l % 2
-        return (pltpu.make_async_copy(kc_ref.at[l], kbuf.at[slot], ksem.at[slot]),
-                pltpu.make_async_copy(vc_ref.at[l], vbuf.at[slot], vsem.at[slot]))
+    def kv_in(l, t):
+        slot = (l * nbt + t) % 2
+        return (pltpu.make_async_copy(kc_ref.at[l, pl.ds(t * bt, bt)],
+                                      kbuf.at[slot], ksem.at[slot]),
+                pltpu.make_async_copy(vc_ref.at[l, pl.ds(t * bt, bt)],
+                                      vbuf.at[slot], vsem.at[slot]))
 
-    for i in range(NWBUF - 1):
-        wdma(i).start()
-    k0 = kv_in(0)
-    k0[0].start()
-    k0[1].start()
+    def kv_start(l, t):
+        pair = kv_in(l, t)
+        pair[0].start()
+        pair[1].start()
 
-    tile_i = 0
+    stream = TileStream(sched, shapes, slot_of, nxt, prime, arrays,
+                        scratch[:ns], scratch[ns:2 * ns],
+                        layerless=("head",))
+    kv_start(0, 0)
 
-    def next_tile():
-        nonlocal tile_i
-        i = tile_i
-        if i + NWBUF - 1 < total:
-            wdma(i + NWBUF - 1).start()
-        wdma(i).wait()
-        tile_i += 1
-        return wbuf[i % NWBUF].astype(jnp.bfloat16)
-
-    def matmul(h_chunks, n_in, n_out, scale_row):
-        """Accumulated tiled matmul: h_chunks (list of (B, TILE) bf16) @
-        streamed tiles -> (B, n_out*TILE) f32, scaled per out column."""
-        outs = []
-        for o in range(n_out):
-            acc = jnp.zeros((b, TILE), jnp.float32)
-            for i in range(n_in):
-                w = next_tile()
-                acc = acc + jnp.dot(h_chunks[i], w,
-                                    preferred_element_type=jnp.float32)
-            outs.append(acc * scale_row[o * TILE:(o + 1) * TILE][None, :])
-        return jnp.concatenate(outs, axis=-1)
-
-    def chunks(h, n):
-        return [h[:, i * TILE:(i + 1) * TILE] for i in range(n)]
+    def matmul(kind, h_full, in_w, out_w, scale_row):
+        return stream.matmul(b, h_full, in_w, out_w, scale_row)
 
     cos = cos_ref[:].astype(jnp.float32)
     sin = sin_ref[:].astype(jnp.float32)
@@ -165,13 +146,13 @@ def _step_kernel(x_ref, cos_ref, sin_ref, pad_ref, idx_ref,
     visible = (slot_b1s <= idx) & pad_ok[:, None, :]            # (B, 1, S)
 
     x = x_ref[:]  # (B, H) bf16
-    g = nq // nkv
+    g_rep = nq // nkv
 
     for l in range(num_layers):
         h = _rms(x, in_ln_ref[l], eps)
-        hcs = chunks(h, hi)
 
-        qkv = matmul(hcs, hi, qo, qkv_s_ref[l].astype(jnp.float32))
+        qkv = matmul("qkv", h, hidden, qd + 2 * kvd,
+                     qkv_s_ref[l].astype(jnp.float32))
         q = qkv[:, :qd].astype(jnp.bfloat16).reshape(b, nq, d)
         k = qkv[:, qd:qd + kvd].astype(jnp.bfloat16).reshape(b, nkv, d)
         v = qkv[:, qd + kvd:].astype(jnp.bfloat16).reshape(b, nkv, d)
@@ -181,77 +162,100 @@ def _step_kernel(x_ref, cos_ref, sin_ref, pad_ref, idx_ref,
         q = _rope(q, cos, sin)
         k = _rope(k, cos, sin)
 
-        # stage in the cache block, insert the new position in VMEM
-        kin = kv_in(l)
-        kin[0].wait()
-        kin[1].wait()
-        kb = kbuf[l % 2]  # (B, S, NKV, D)
-        vb = vbuf[l % 2]
-        kfull = jnp.where(slot_bs1d == idx, k[:, None].astype(kb.dtype), kb)
-        vfull = jnp.where(slot_bs1d == idx, v[:, None].astype(vb.dtype), vb)
-        # write ONLY the new slot back to HBM (block read is S; write is 1)
-        knew[:] = k[:, None].astype(knew.dtype)
-        vnew[:] = v[:, None].astype(vnew.dtype)
-        ko = (pltpu.make_async_copy(knew, kc_out.at[l, :, pl.ds(idx, 1)],
-                                    osem.at[0]),
-              pltpu.make_async_copy(vnew, vc_out.at[l, :, pl.ds(idx, 1)],
-                                    osem.at[1]))
-        ko[0].start()
-        ko[1].start()
+        # attention over the cache, streamed in batch sub-tiles whose staged
+        # KV blocks fit VMEM (attention rows are batch-independent)
+        ctxs = []
+        writes = []
+        for t in range(nbt):
+            kin = kv_in(l, t)
+            kin[0].wait()
+            kin[1].wait()
+            slot = (l * nbt + t) % 2
+            kb = kbuf[slot]  # (bt, S, NKV, D)
+            vb = vbuf[slot]
+            kt_new = jax.lax.slice_in_dim(k, t * bt, (t + 1) * bt, axis=0)
+            vt_new = jax.lax.slice_in_dim(v, t * bt, (t + 1) * bt, axis=0)
+            kfull = jnp.where(slot_bs1d == idx,
+                              kt_new[:, None].astype(kb.dtype), kb)
+            vfull = jnp.where(slot_bs1d == idx,
+                              vt_new[:, None].astype(vb.dtype), vb)
+            # write ONLY the new slot back to HBM (read is S slots; write 1);
+            # knew/vnew are reused per tile, so drain the previous write first
+            if writes:
+                writes[-1][0].wait()
+                writes[-1][1].wait()
+            knew[:] = kt_new[:, None].astype(knew.dtype)
+            vnew[:] = vt_new[:, None].astype(vnew.dtype)
+            ko = (pltpu.make_async_copy(
+                      knew, kc_out.at[l, pl.ds(t * bt, bt), pl.ds(idx, 1)],
+                      osem.at[0]),
+                  pltpu.make_async_copy(
+                      vnew, vc_out.at[l, pl.ds(t * bt, bt), pl.ds(idx, 1)],
+                      osem.at[1]))
+            ko[0].start()
+            ko[1].start()
+            writes.append(ko)
+            # prefetch the next KV stage while this tile's attention runs
+            if t + 1 < nbt:
+                kv_start(l, t + 1)
 
-        # GQA attention in f32 over the staged block
-        qf = (q.astype(jnp.float32) * scaling).reshape(b * nkv, g, d)
-        kt = jnp.swapaxes(kfull.astype(jnp.float32), 1, 2)  # (B, NKV, S, D)
-        s = jax.lax.dot_general(
-            qf, kt.reshape(b * nkv, s_max, d), (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)             # (B*NKV, G, S)
-        s = s.reshape(b, nkv, g, s_max)
-        s = jnp.where(visible[:, :, None, :], s, NEG)
-        s = s.reshape(b * nkv, g, s_max)
-        p = jax.nn.softmax(s, axis=-1)
-        vsafe = jnp.where((slot_bs1d <= idx), vfull, 0)
-        vt = jnp.swapaxes(vsafe.astype(jnp.float32), 1, 2)
-        ctx = jax.lax.dot_general(
-            p, vt.reshape(b * nkv, s_max, d), (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)             # (B*NKV, G, D)
-        ctx = ctx.reshape(b, qd).astype(jnp.bfloat16)
+            q_t = jax.lax.slice_in_dim(q, t * bt, (t + 1) * bt, axis=0)
+            qf = (q_t.astype(jnp.float32) * scaling).reshape(bt * nkv, g_rep, d)
+            ktr = jnp.swapaxes(kfull.astype(jnp.float32), 1, 2)
+            s = jax.lax.dot_general(
+                qf, ktr.reshape(bt * nkv, s_max, d),
+                (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)         # (bt*NKV, G, S)
+            s = s.reshape(bt, nkv, g_rep, s_max)
+            vis_t = jnp.expand_dims(
+                jax.lax.slice_in_dim(visible, t * bt, (t + 1) * bt, axis=0), 2)
+            s = jnp.where(vis_t, s, NEG)
+            s = s.reshape(bt * nkv, g_rep, s_max)
+            p = jax.nn.softmax(s, axis=-1)
+            vsafe = jnp.where((slot_bs1d <= idx), vfull, 0)
+            vtr = jnp.swapaxes(vsafe.astype(jnp.float32), 1, 2)
+            ctx_t = jax.lax.dot_general(
+                p, vtr.reshape(bt * nkv, s_max, d),
+                (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)         # (bt*NKV, G, D)
+            ctxs.append(ctx_t.reshape(bt, qd).astype(jnp.bfloat16))
+        ctx = jnp.concatenate(ctxs, axis=0) if nbt > 1 else ctxs[0]
 
-        attn = matmul(chunks(ctx, oi), oi, ho, o_s_ref[l].astype(jnp.float32))
+        attn = matmul("o", ctx, qd, hidden, o_s_ref[l].astype(jnp.float32))
         x = x + attn.astype(x.dtype)
 
         h2 = _rms(x, post_ln_ref[l], eps)
-        h2cs = chunks(h2, hi)
-        gu = matmul(h2cs, hi, go, gu_s_ref[l].astype(jnp.float32))
+        gu = matmul("gu", h2, hidden, 2 * inter,
+                    gu_s_ref[l].astype(jnp.float32))
         gate = gu[:, :inter]
         up = gu[:, inter:]
         act = (gate * jax.nn.sigmoid(gate) * up).astype(jnp.bfloat16)
 
-        # prefetch next layer's KV during the down matmuls; the slot writes
-        # must complete before their source scratch is reused next layer
-        ko[0].wait()
-        ko[1].wait()
+        # prefetch next layer's first KV stage during the down matmuls; the
+        # slot writes must complete before their source scratch is reused
+        writes[-1][0].wait()
+        writes[-1][1].wait()
         if l + 1 < num_layers:
-            kn_ = kv_in(l + 1)
-            kn_[0].start()
-            kn_[1].start()
+            kv_start(l + 1, 0)
 
-        down = matmul(chunks(act, di), di, ho, down_s_ref[l].astype(jnp.float32))
+        down = matmul("down", act, inter, hidden,
+                      down_s_ref[l].astype(jnp.float32))
         x = x + down.astype(x.dtype)
 
     last_h = _rms(x, fn_ref[0], eps)
     h_out_ref[:] = last_h
-    lcs = chunks(last_h, hi)
-    logits = matmul(lcs, hi, vo, head_s_ref[0].astype(jnp.float32))
+    logits = matmul("head", last_h, hidden, vocab,
+                    head_s_ref[0].astype(jnp.float32))
     logits_ref[:] = logits
 
 
-def _vmem_estimate(b: int, s_max: int, nkv: int, d: int, vocab: int,
-                   hidden: int, inter: int) -> int:
-    kv = 4 * b * s_max * nkv * d * 2          # k/v double buffers (bf16)
-    bufs = NWBUF * TILE * TILE                # weight tiles (int8)
+def _vmem_estimate(shapes, b: int, bt: int, s_max: int, nkv: int, d: int,
+                   vocab: int, hidden: int, inter: int) -> int:
+    kv = 4 * bt * s_max * nkv * d * 2         # k/v double buffers (bf16)
+    bufs = sum(2 * it * ot for it, ot in shapes)  # weight tiles (int8)
     act = (b * vocab * 4                      # logits
-           + 6 * b * max(2 * inter, vocab) * 4   # matmul/attention temps
-           + 4 * b * s_max * nkv * d * 4)     # f32 attention relayouts
+           + 6 * b * max(2 * inter, vocab) * 4   # matmul temporaries
+           + 4 * bt * s_max * nkv * d * 4)    # f32 attention relayouts
     est = kv + bufs + act
     return est + est // 2 + (16 << 20)
 
@@ -289,20 +293,26 @@ def fused_talker_step(layers: dict, final_norm: jax.Array,
     for dim, name in ((hidden, "hidden"), (qd, "query width"),
                       (nkv * d, "kv width"), (inter, "intermediate"),
                       (vocab, "vocab")):
-        if dim % TILE:
+        if dim % 256:
             raise ValueError(
-                f"fused talker step requires {name} % {TILE} == 0, got {dim}")
+                f"fused talker step requires {name} % 256 == 0, got {dim}")
 
     idx2d = jnp.full((1, 1), index, jnp.int32)
     kernel = functools.partial(
         _step_kernel, num_layers=num_layers, eps=eps,
         nq=nq, nkv=nkv, d=d, inter=inter, vocab=vocab)
 
+    sched = _plan(num_layers, hidden, qd, nkv * d, inter, vocab)
+    shapes, _, _, _ = plan_groups(sched)
+    wbuf_scratch = [pltpu.VMEM((2, it, ot), jnp.int8) for it, ot in shapes]
+    wsem_scratch = [pltpu.SemaphoreType.DMA((2,)) for _ in shapes]
+    bt = _batch_tile(b, s_max, nkv, d)
+
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     any_ = pl.BlockSpec(memory_space=pl.ANY)
-    limit = min(_vmem_estimate(b, s_max, nkv, d, vocab, hidden, inter),
-                100 << 20)
+    limit = min(_vmem_estimate(shapes, b, bt, s_max, nkv, d, vocab, hidden,
+                               inter), 100 << 20)
 
     last_h, logits, kc, vc = pl.pallas_call(
         kernel,
@@ -320,12 +330,12 @@ def fused_talker_step(layers: dict, final_norm: jax.Array,
         out_specs=[vmem, vmem, any_, any_],
         input_output_aliases={20: 2, 21: 3},
         scratch_shapes=[
-            pltpu.VMEM((NWBUF, TILE, TILE), jnp.int8),
-            pltpu.VMEM((2, b, s_max, nkv, d), k_cache.dtype),
-            pltpu.VMEM((2, b, s_max, nkv, d), v_cache.dtype),
-            pltpu.VMEM((b, 1, nkv, d), k_cache.dtype),
-            pltpu.VMEM((b, 1, nkv, d), v_cache.dtype),
-            pltpu.SemaphoreType.DMA((NWBUF,)),
+            *wbuf_scratch,
+            *wsem_scratch,
+            pltpu.VMEM((2, bt, s_max, nkv, d), k_cache.dtype),
+            pltpu.VMEM((2, bt, s_max, nkv, d), v_cache.dtype),
+            pltpu.VMEM((bt, 1, nkv, d), k_cache.dtype),
+            pltpu.VMEM((bt, 1, nkv, d), v_cache.dtype),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),

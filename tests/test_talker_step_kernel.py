@@ -188,3 +188,50 @@ def test_talker_decode_step_uses_step_kernel():
     np.testing.assert_allclose(
         np.asarray(got_state.past_hidden, np.float32),
         np.asarray(ref_state.past_hidden, np.float32), atol=0.05, rtol=0.05)
+
+
+def test_fused_talker_step_batch_tiled(setup, monkeypatch):
+    """Force the in-kernel batch-tiled attention path (nbt > 1, the b=32
+    serving shape) by shrinking the KV staging budget; results must match
+    the monolithic path exactly."""
+    import qwen3_tts_tpu.ops.talker_step as ts
+
+    spec, layers, head_q, head_s = setup
+    inv_freq = make_inv_freq(D, spec.rope_theta)
+    b = 4
+    cache = KVCache.create(L, b, S, NKV, D, dtype=jnp.bfloat16)
+    cache = cache._replace(index=jnp.int32(3))
+    # put something in the cache first
+    k0 = (jax.random.normal(jax.random.PRNGKey(9), cache.k.shape) * 0.2
+          ).astype(jnp.bfloat16)
+    v0 = (jax.random.normal(jax.random.PRNGKey(10), cache.v.shape) * 0.2
+          ).astype(jnp.bfloat16)
+    pad = jnp.ones((b, S), jnp.int32)
+    x = (jax.random.normal(jax.random.PRNGKey(12), (b, H)) * 0.3
+         ).astype(jnp.bfloat16)
+    cos, sin = rope_cos_sin(jnp.full((b, 1), 3, jnp.int32), inv_freq,
+                            jnp.bfloat16)
+
+    def run():
+        return ts.fused_talker_step(
+            layers, layers["norm"], head_q, head_s, x, cos[:, 0], sin[:, 0],
+            pad, cache.index, L, spec.rms_norm_eps,
+            jnp.copy(k0), jnp.copy(v0), interpret=True)
+
+    ref_h, ref_logits, ref_k, ref_v = run()
+    assert ts._batch_tile(b, S, NKV, D) == b  # monolithic by default
+
+    monkeypatch.setattr(ts, "KV_TILE_BYTES", b * S * NKV * D * 2 // 4)
+    assert ts._batch_tile(b, S, NKV, D) == 1  # 4 sub-tiles now
+    ts.fused_talker_step._clear_cache()
+    got_h, got_logits, got_k, got_v = run()
+    monkeypatch.undo()
+    ts.fused_talker_step._clear_cache()
+
+    np.testing.assert_array_equal(np.asarray(got_h, np.float32),
+                                  np.asarray(ref_h, np.float32))
+    np.testing.assert_array_equal(np.asarray(got_logits), np.asarray(ref_logits))
+    np.testing.assert_array_equal(np.asarray(got_k, np.float32),
+                                  np.asarray(ref_k, np.float32))
+    np.testing.assert_array_equal(np.asarray(got_v, np.float32),
+                                  np.asarray(ref_v, np.float32))
