@@ -270,28 +270,31 @@ def main():
     # conservative assumed vocoder rate, then replace the assumption with a
     # cheap measured vocoder, then refine at the full serving shape.
 
-    # --- 1. serving talker config: int8 + Pallas sub-talker kernel ---
-    _note("talker_bN_int8_kernel")
-    serving_config = "int8+subtalker-kernel"
-    try:
-        lmN_fps, lmN_ms = bench_talker(batch=serve_batch, quantize=True, packed=True)
-    except Exception as e:  # kernel variant must never take down the bench
-        print(f"subtalker-kernel variant failed: {e!r}", file=sys.stderr, flush=True)
-        _note("talker_bN_int8_fallback")
-        serving_config = "int8"
-        lmN_fps, lmN_ms = bench_talker(batch=serve_batch, quantize=True)
+    # --- 1a. serving talker, plain int8 (pure-XLA program: the CHEAPEST
+    # cold compile of any serving variant, ~2 min worst case) — lands a
+    # guaranteed nonzero headline before any Pallas compile is attempted.
+    # Round-2 lesson: the fused-kernel program cold-compiles in tens of
+    # minutes under Mosaic; on a cache miss the old phase order burned the
+    # whole budget inside that compile and the watchdog emitted 0.0.
+    _note("talker_bN_int8_xla")
+    serving_config = "int8"
+    lmN_fps, lmN_ms = bench_talker(batch=serve_batch, quantize=True)
     # conservative assumed vocoder floor until measured (HW-measured 640+
     # audio-s/s at b=32 in r1/r2; 400 is a documented under-estimate), so a
     # watchdog fire after this phase still emits a meaningful headline
     voc_audio_n = 400.0
     _detail["vocoder_state"] = "assumed_floor_400"
-    combined = 1.0 / (FRAME_RATE / lmN_fps + 1.0 / voc_audio_n)
-    _detail.update({
-        "_best_audio_s": combined,
-        "serving_config": serving_config,
-        "talker_step_ms_bN": round(lmN_ms * 1e3, 3),
-        "talker_frames_per_s_bN": round(lmN_fps, 2),
-    })
+
+    def _update_headline():
+        combined = 1.0 / (FRAME_RATE / lmN_fps + 1.0 / voc_audio_n)
+        _detail.update({
+            "_best_audio_s": combined,
+            "serving_config": serving_config,
+            "talker_step_ms_bN": round(lmN_ms * 1e3, 3),
+            "talker_frames_per_s_bN": round(lmN_fps, 2),
+        })
+
+    _update_headline()
 
     # --- 2. serving vocoder: cheap shape first, then the full 300-frame
     # serving chunk (each updates the headline with measured numbers) ---
@@ -303,15 +306,11 @@ def main():
         combined = 1.0 / (FRAME_RATE / lmN_fps + 1.0 / voc_audio_n)
         _detail["_best_audio_s"] = combined
 
-    # --- 3. single-stream latency (same serving config at b=1) ---
+    # --- 3. single-stream latency, plain int8 (cheap compile; the fused
+    # kernels are attempted at the end as pure improvements) ---
     _note("talker_b1")
-    try:
-        lm1_fps, lm1_ms = bench_talker(batch=1, quantize=True, packed=True)
-        _detail["talker_b1_config"] = "int8+subtalker-kernel"
-    except Exception as e:
-        print(f"b=1 kernel variant failed: {e!r}", file=sys.stderr, flush=True)
-        lm1_fps, lm1_ms = bench_talker(batch=1, quantize=True)
-        _detail["talker_b1_config"] = "int8"
+    lm1_fps, lm1_ms = bench_talker(batch=1, quantize=True)
+    _detail["talker_b1_config"] = "int8"
     _detail["talker_step_ms_b1"] = round(lm1_ms * 1e3, 3)
 
     # --- 4. first packet (fused prefill + burst + vocode, bf16) ---
@@ -340,6 +339,37 @@ def main():
         _detail["talker_step_ms_bN_int8"] = round(lmQ_ms * 1e3, 3)
         _detail["int8_audio_s_per_s"] = round(
             1.0 / (FRAME_RATE / lmQ_fps + 1.0 / voc_audio_n), 3)
+
+    # --- 6. Pallas fused-kernel variants (talker step + sub-talker frame),
+    # LAST: pure improvements over the already-measured XLA headline. The
+    # fused-kernel programs cold-compile in tens of minutes under Mosaic
+    # (round-2 lesson: with these first, a cache miss burned the whole
+    # budget inside one compile and the watchdog emitted 0.0); running them
+    # after every measured phase means a compile stall can only cost the
+    # improvement, never the result. Cache-warm runs enter in seconds.
+    if os.environ.get("BENCH_SKIP_KERNEL", "") != "1":
+        _note("talker_bN_int8_kernel")
+        try:
+            kN_fps, kN_ms = bench_talker(batch=serve_batch, quantize=True,
+                                         packed=True)
+            _detail["talker_step_ms_bN_kernel"] = round(kN_ms * 1e3, 3)
+            if kN_fps > lmN_fps:
+                lmN_fps, lmN_ms = kN_fps, kN_ms
+                serving_config = "int8+subtalker-kernel"
+                _update_headline()  # voc_audio_n already holds measured_f300
+        except Exception as e:  # kernel variant must never take down the bench
+            print(f"kernel variant failed: {e!r}", file=sys.stderr, flush=True)
+        _note("talker_b1_kernel")
+        try:
+            k1_fps, k1_ms = bench_talker(batch=1, quantize=True, packed=True)
+            if k1_fps > lm1_fps:
+                lm1_fps, lm1_ms = k1_fps, k1_ms
+                _detail["talker_b1_config"] = "int8+subtalker-kernel"
+                _detail["talker_step_ms_b1"] = round(k1_ms * 1e3, 3)
+                _detail["single_stream_audio_s_per_s"] = round(
+                    1.0 / (FRAME_RATE / lm1_fps + 1.0 / voc_audio_1), 3)
+        except Exception as e:
+            print(f"b=1 kernel variant failed: {e!r}", file=sys.stderr, flush=True)
 
     _note("done")
     _emit_and_exit(None)
