@@ -121,7 +121,8 @@ def _params_like(init_fn, *args, dtype):
 
 
 def bench_talker(batch: int = 1, cache_len: int = 512, steps: int = 64,
-                 quantize: bool = False, packed: bool = False):
+                 quantize: bool = False, packed: bool = False,
+                 step_kernel: bool = True):
     cfg = talker_1p7b()
     spec = talker_spec(cfg)
     dtype = jnp.bfloat16
@@ -135,6 +136,11 @@ def bench_talker(batch: int = 1, cache_len: int = 512, steps: int = 64,
         params = jax.jit(quantize_talker_params, donate_argnums=0)(params)
     if packed:  # fused Pallas sub-talker kernels (int8 only)
         params = pack_talker_params(params)
+        if not step_kernel:
+            # sub-talker kernels only (frame megakernel / micro-step), XLA
+            # talker stack: the r1-proven serving config with a much
+            # cheaper Mosaic compile than the 28-layer fused step kernel
+            params.pop("talker_kernel", None)
     cache = KVCache.create(spec.num_layers, batch, cache_len, spec.num_kv_heads,
                            spec.head_dim, dtype=dtype)
     cache = cache._replace(index=jnp.asarray(64, jnp.int32))
@@ -348,17 +354,23 @@ def main():
     # after every measured phase means a compile stall can only cost the
     # improvement, never the result. Cache-warm runs enter in seconds.
     if os.environ.get("BENCH_SKIP_KERNEL", "") != "1":
-        _note("talker_bN_int8_kernel")
-        try:
-            kN_fps, kN_ms = bench_talker(batch=serve_batch, quantize=True,
-                                         packed=True)
-            _detail["talker_step_ms_bN_kernel"] = round(kN_ms * 1e3, 3)
-            if kN_fps > lmN_fps:
-                lmN_fps, lmN_ms = kN_fps, kN_ms
-                serving_config = "int8+subtalker-kernel"
-                _update_headline()  # voc_audio_n already holds measured_f300
-        except Exception as e:  # kernel variant must never take down the bench
-            print(f"kernel variant failed: {e!r}", file=sys.stderr, flush=True)
+        # (a) sub-talker kernels only, XLA talker stack (cheapest Mosaic
+        # compile, the r1-proven serving config), then (b) + the fused
+        # 28-layer talker-step kernel (the expensive compile) — each
+        # variant keeps the headline only if it measures faster.
+        for tag, use_step in (("subtalker", False), ("stepfused", True)):
+            _note(f"talker_bN_int8_kernel_{tag}")
+            try:
+                kN_fps, kN_ms = bench_talker(batch=serve_batch, quantize=True,
+                                             packed=True, step_kernel=use_step)
+                _detail[f"talker_step_ms_bN_kernel_{tag}"] = round(kN_ms * 1e3, 3)
+                if kN_fps > lmN_fps:
+                    lmN_fps, lmN_ms = kN_fps, kN_ms
+                    serving_config = f"int8+kernel-{tag}"
+                    _update_headline()  # voc_audio_n holds measured_f300
+            except Exception as e:  # kernels must never take down the bench
+                print(f"kernel variant {tag} failed: {e!r}",
+                      file=sys.stderr, flush=True)
         _note("talker_b1_kernel")
         try:
             k1_fps, k1_ms = bench_talker(batch=1, quantize=True, packed=True)
