@@ -470,7 +470,14 @@ def talker_decode_step(
         and spec.sliding_window is None
         and b <= 64 and state.cache.max_len <= 4096)
     if use_step_kernel:
-        from ..ops.talker_step import fused_talker_step
+        # layer-pair fori_loop edition for even L (both production talkers):
+        # ~14x less Mosaic IR, minutes instead of tens of minutes to cold
+        # compile (NOTES.md round-2 finding); unrolled kernel otherwise
+        if spec.num_layers % 2 == 0:
+            from ..ops.talker_step_loop import (
+                fused_talker_step_loop as fused_talker_step)
+        else:
+            from ..ops.talker_step import fused_talker_step
 
         last_h, logits, kc, vc = fused_talker_step(
             params["layers"], params["layers"]["norm"],

@@ -169,8 +169,16 @@ def _loop_kernel(x_ref, cos_ref, sin_ref, pad_ref, idx_ref,
     last_pair = jnp.int32(num_layers - 2)
 
     def row(ref, l_arr):
-        """Dynamic (1, W) row of a (L, W) VMEM ref."""
-        return ref[pl.ds(l_arr, 1), :]
+        """(1, W) row `l_arr` of a (L, W) VMEM-resident table, selected by a
+        masked reduction: Mosaic cannot statically prove sublane alignment
+        for a dynamic `pl.ds(l_arr, 1)` load (bf16 needs multiples of the
+        packing factor), and these tables are tiny (<=1.4 MB for the gu
+        scales), so an O(L*W) VPU select is cheaper than restructuring the
+        layout. Always reduces in f32 (both use sites want f32 anyway)."""
+        tab = ref[:].astype(jnp.float32)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (tab.shape[0], 1), 0)
+        return jnp.sum(jnp.where(lane == l_arr, tab, 0.0), axis=0,
+                       keepdims=True)
 
     def one_layer(x, l0, l0_next, rel):
         """rel is STATIC (0 or 1); l0/l0_next are traced pair bases."""
