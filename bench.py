@@ -27,6 +27,7 @@ executables take minutes to ship):
     only runs with BENCH_FULL=1.
 """
 
+import functools
 import json
 import os
 import sys
@@ -160,7 +161,10 @@ def bench_talker(batch: int = 1, cache_len: int = 512, steps: int = 64,
     suppress = make_suppress_mask(cfg.vocab_size, 1024, (cfg.codec_eos_token_id,))
     sampling = SamplingConfig()
 
-    @jax.jit
+    # state is DONATED: the KV cache must alias input->output or the run
+    # carries two full cache buffers (b=128 at the serving shape OOMs) and
+    # copies one per call (r3 profiling finding)
+    @functools.partial(jax.jit, donate_argnums=(1,))
     def run(params, state):
         def body(_, s):
             s, _, _ = talker_decode_step(params, cfg, s, trailing, pad_embed,
@@ -171,19 +175,20 @@ def bench_talker(batch: int = 1, cache_len: int = 512, steps: int = 64,
     # NOTE: timing on this runtime requires fetching a result to host —
     # block_until_ready alone does not synchronize, and identical-argument
     # calls can be served from a result cache, so the timed call uses a
-    # different PRNG key and ends with a scalar fetch.
-    int(run(params, state).step[0])  # compile + warmup
-    dt = min(_timed_run(run, params, state, seed) for seed in (11, 22, 33))
+    # different PRNG key and ends with a scalar fetch. The donated state is
+    # threaded through the calls (each consumes the previous result).
+    state = run(params, state)  # compile + warmup
+    int(state.step[0])
+    dts = []
+    for seed in (11, 22, 33):
+        state = state._replace(key=jax.random.PRNGKey(seed))
+        t0 = time.perf_counter()
+        state = run(params, state)
+        _ = int(state.step[0]) + int(state.token0[0])
+        dts.append(time.perf_counter() - t0)
+    dt = min(dts)
     frames_per_s = steps * batch / dt
     return frames_per_s, dt / steps
-
-
-def _timed_run(run, params, state, seed):
-    st = state._replace(key=jax.random.PRNGKey(seed))
-    t0 = time.perf_counter()
-    out = run(params, st)
-    _ = int(out.step[0]) + int(out.token0[0])
-    return time.perf_counter() - t0
 
 
 _VOC_PARAMS = None

@@ -54,9 +54,26 @@ class VoiceClonePromptItem:
 
 
 def save_voice_clone_prompt(items: List[VoiceClonePromptItem], path: str) -> None:
-    """Persist voice-clone prompt items for reuse (reference demo.py:501-551
-    saves them as torch `.pt` payloads; natively we use `.npz`)."""
+    """Persist voice-clone prompt items for reuse. A `.npz` path (or no
+    suffix) uses the torch-free native format; a `.pt` path writes the
+    reference demo's exact payload — ``torch.save({"items": [asdict(it)]})``
+    with tensor-valued arrays, loadable by the reference's
+    ``torch.load(..., weights_only=True)`` (reference demo.py:501-551,
+    535-582) — so sessions round-trip both ways."""
     import dataclasses
+
+    if path.endswith(".pt"):
+        import torch  # guarded: only the .pt interop path needs torch
+
+        def conv(v):
+            return torch.from_numpy(np.asarray(v)) if isinstance(
+                v, (np.ndarray, list)) else v
+
+        torch.save({"items": [
+            {f.name: conv(getattr(it, f.name))
+             for f in dataclasses.fields(VoiceClonePromptItem)}
+            for it in items]}, path)
+        return
 
     payload: Dict[str, Any] = {"n": np.asarray(len(items))}
     for i, it in enumerate(items):

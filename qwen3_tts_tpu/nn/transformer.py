@@ -146,10 +146,21 @@ def quantize_stack_params(layers: dict, names=("q_proj", "k_proj", "v_proj",
 def _layer(spec: DecoderSpec, lw: dict, x: jax.Array, cos: jax.Array, sin: jax.Array,
            mask: jax.Array | None, k_full: jax.Array | None, v_full: jax.Array | None,
            write_index: jax.Array | None, flash_pad_mask: jax.Array | None = None,
-           flash_interpret: bool = False):
-    """Single decoder layer. If k_full/v_full given (cache buffers (B,S,Hkv,D)),
-    new k/v are written at write_index and attention runs over the buffers;
-    otherwise attention is over the local sequence (prefill-without-cache).
+           flash_interpret: bool = False, layer_idx: jax.Array | None = None):
+    """Single decoder layer.
+
+    Cache handling (decode-critical): when layer_idx is given, k_full/v_full
+    are the FULL stacked cache buffers (L,B,S,Hkv,D) carried through the
+    layer scan — this layer's new k/v slot is written with a tiny
+    dynamic-update-slice that XLA performs IN PLACE on the loop carry, and
+    attention reads the updated layer slice. The previous design mapped the
+    cache over scan xs/ys, which forced a full cache copy (read+write of
+    every layer's (B,S,Hkv,D) buffer) per decode step — at the 1.7B serving
+    shape that is ~3.8 GB of pure copy traffic per frame, measured 19.6 ms
+    at b=32 and OOM at b=128 (r3 profiling; the HLO showed a second
+    KV-sized AllocateBuffer temp).
+
+    Without a cache (k_full None), plain cache-free prefill.
 
     flash_pad_mask (B, T): when set, attention runs through the Pallas flash
     kernel over the LOCAL k/v (valid only for prefill at cache index 0, where
@@ -180,9 +191,16 @@ def _layer(spec: DecoderSpec, lw: dict, x: jax.Array, cos: jax.Array, sin: jax.A
         k = rms_norm(k, lw["k_norm"], spec.rms_norm_eps)
     q, k = apply_rope(q, k, cos, sin)
 
-    if k_full is not None:
-        k_out = jax.lax.dynamic_update_slice(k_full, k.astype(k_full.dtype), (0, write_index, 0, 0))
-        v_out = jax.lax.dynamic_update_slice(v_full, v.astype(v_full.dtype), (0, write_index, 0, 0))
+    if k_full is not None and layer_idx is not None:
+        # in-place slot write into the carried (L,B,S,Hkv,D) stack, then
+        # attend over this layer's updated slice (the slice read fuses into
+        # the attention dots; the carry update is done in place by XLA)
+        k_out = jax.lax.dynamic_update_slice(
+            k_full, k.astype(k_full.dtype)[None],
+            (layer_idx, 0, write_index, 0, 0))
+        v_out = jax.lax.dynamic_update_slice(
+            v_full, v.astype(v_full.dtype)[None],
+            (layer_idx, 0, write_index, 0, 0))
         if flash_pad_mask is not None:
             from ..ops.flash_attention import flash_prefill_attention
 
@@ -190,7 +208,9 @@ def _layer(spec: DecoderSpec, lw: dict, x: jax.Array, cos: jax.Array, sin: jax.A
                                            spec.sliding_window,
                                            interpret=flash_interpret)
         else:
-            attn = gqa_attention(q, k_out, v_out, mask, spec.scaling)
+            k_l = jax.lax.dynamic_index_in_dim(k_out, layer_idx, 0, keepdims=False)
+            v_l = jax.lax.dynamic_index_in_dim(v_out, layer_idx, 0, keepdims=False)
+            attn = gqa_attention(q, k_l, v_l, mask, spec.scaling)
     elif flash_pad_mask is not None:
         from ..ops.flash_attention import flash_prefill_attention
 
@@ -258,13 +278,35 @@ def stack_forward(spec: DecoderSpec, params: dict, x: jax.Array, cos: jax.Array,
 
     idx = cache.index
 
-    def body(h, xs):
-        lw, ck, cv = xs
-        h, ck, cv = _layer(spec, lw, h, cos, sin, mask, ck, cv, idx,
-                           flash_pad_mask, flash_interpret)
-        return h, (ck, cv)
+    if x.shape[1] == 1:
+        # DECODE (t==1, the serving hot path): statically unrolled layer
+        # loop. Each layer writes its one new KV slot into the full stacked
+        # buffer with a static-index dynamic-update-slice (in place on the
+        # donated buffer) and attends over the layer's STATIC slice, which
+        # fuses into the attention dots without materializing a copy. The
+        # scan-carried variant below keeps a traced layer index, whose
+        # dynamic slice read materialized a (B,S,Hkv,D) copy per layer —
+        # measured 17.2 vs ~6.5 ms roofline at b=64 (r3 profiling).
+        kbuf, vbuf = cache.k, cache.v
+        for l in range(spec.num_layers):
+            lw = {k: v[l] for k, v in layer_ws.items()}
+            x, kbuf, vbuf = _layer(spec, lw, x, cos, sin, mask, kbuf, vbuf,
+                                   idx, flash_pad_mask, flash_interpret,
+                                   layer_idx=l)
+        new_cache = KVCache(k=kbuf, v=vbuf, index=idx + 1)
+        return maybe_final_norm(x), new_cache
 
-    x, (k_new, v_new) = jax.lax.scan(body, x, (layer_ws, cache.k, cache.v))
+    # PREFILL into cache: scan keeps compile time O(1) in depth; the cache
+    # buffers ride the CARRY (not xs/ys) so each layer writes only its new
+    # (B,T,Hkv,D) slots in place instead of copying the full cache
+    def body(carry, lw):
+        h, kbuf, vbuf, l = carry
+        h, kbuf, vbuf = _layer(spec, lw, h, cos, sin, mask, kbuf, vbuf, idx,
+                               flash_pad_mask, flash_interpret, layer_idx=l)
+        return (h, kbuf, vbuf, l + 1), None
+
+    (x, k_new, v_new, _), _ = jax.lax.scan(
+        body, (x, cache.k, cache.v, jnp.int32(0)), layer_ws)
     new_cache = KVCache(k=k_new, v=v_new, index=idx + x.shape[1])
     return maybe_final_norm(x), new_cache
 

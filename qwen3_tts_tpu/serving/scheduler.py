@@ -46,6 +46,7 @@ class _Request:
     prompt: object              # AssembledPrompt (b=1)
     max_frames: int
     sampling: SamplingConfig
+    sub_sampling: SamplingConfig = None  # per-request sub-talker knobs
     future: Future = field(default_factory=Future)
     frames: list = field(default_factory=list)
     slot: int = -1
@@ -87,7 +88,9 @@ class ContinuousBatcher:
 
     def _make_request(self, text, speaker, language, instruct, max_frames,
                       do_sample, top_k, top_p, temperature,
-                      repetition_penalty, stream_q=None) -> _Request:
+                      repetition_penalty, subtalker_dosample=None,
+                      subtalker_top_k=None, subtalker_top_p=None,
+                      subtalker_temperature=None, stream_q=None) -> _Request:
         from ..models.generation import assemble_prompts
 
         model = self.model
@@ -101,6 +104,17 @@ class ContinuousBatcher:
             repetition_penalty=(base.repetition_penalty
                                 if repetition_penalty is None
                                 else float(repetition_penalty)))
+        sbase = self.sub_sampling
+        sub = SamplingConfig(
+            do_sample=(sbase.do_sample if subtalker_dosample is None
+                       else bool(subtalker_dosample)),
+            top_k=(sbase.top_k if subtalker_top_k is None
+                   else int(subtalker_top_k)),
+            top_p=(sbase.top_p if subtalker_top_p is None
+                   else float(subtalker_top_p)),
+            temperature=(sbase.temperature if subtalker_temperature is None
+                         else float(subtalker_temperature)),
+            repetition_penalty=1.0)
         input_ids = model._tokenize_texts([model._build_assistant_text(text)])
         instruct_ids = None
         if instruct:
@@ -116,23 +130,30 @@ class ContinuousBatcher:
                 f"trailing_cap {self.trailing_cap}; raise trailing_cap at "
                 f"construction or shorten the text")
         return _Request(prompt=prompt, max_frames=max_frames, sampling=samp,
-                        stream_q=stream_q)
+                        sub_sampling=sub, stream_q=stream_q)
 
     def submit(self, text: str, speaker: Optional[str] = None,
                language: str = "auto", instruct: Optional[str] = None,
                max_frames: int = 256, do_sample: Optional[bool] = None,
                top_k: Optional[int] = None, top_p: Optional[float] = None,
                temperature: Optional[float] = None,
-               repetition_penalty: Optional[float] = None) -> Future:
+               repetition_penalty: Optional[float] = None,
+               subtalker_dosample: Optional[bool] = None,
+               subtalker_top_k: Optional[int] = None,
+               subtalker_top_p: Optional[float] = None,
+               subtalker_temperature: Optional[float] = None) -> Future:
         """Enqueue a synthesis request; resolves to (wav np.ndarray, sr).
 
-        Talker sampling knobs are honored per request (per-slot traced arrays
-        inside the shared decode program; do_sample=False maps to top_k=1,
-        which equals argmax). Sub-talker sampling stays batcher-global: the
-        fused sub-talker kernels specialize on it at construction."""
+        Talker AND sub-talker sampling knobs are honored per request, like
+        the reference's per-call kwargs (qwen3_tts_model.py:287-352): both
+        ride per-slot traced arrays inside the shared decode program
+        (do_sample=False maps to top_k=1, which equals argmax; the frame
+        megakernel takes the same per-row knobs as traced inputs)."""
         req = self._make_request(text, speaker, language, instruct, max_frames,
                                  do_sample, top_k, top_p, temperature,
-                                 repetition_penalty)
+                                 repetition_penalty, subtalker_dosample,
+                                 subtalker_top_k, subtalker_top_p,
+                                 subtalker_temperature)
         self._queue.put(req)
         self._wake.set()
         return req.future
@@ -143,7 +164,11 @@ class ContinuousBatcher:
                       left_context: int = 25, do_sample: Optional[bool] = None,
                       top_k: Optional[int] = None, top_p: Optional[float] = None,
                       temperature: Optional[float] = None,
-                      repetition_penalty: Optional[float] = None):
+                      repetition_penalty: Optional[float] = None,
+                      subtalker_dosample: Optional[bool] = None,
+                      subtalker_top_k: Optional[int] = None,
+                      subtalker_top_p: Optional[float] = None,
+                      subtalker_temperature: Optional[float] = None):
         """Streaming submit: returns a generator of float32 audio chunks.
         Frames stream out of the shared batch at burst granularity and are
         vocoded incrementally (reference chunked-decode semantics), so first
@@ -153,7 +178,9 @@ class ContinuousBatcher:
         stream_q: queue.Queue = queue.Queue()
         req = self._make_request(text, speaker, language, instruct, max_frames,
                                  do_sample, top_k, top_p, temperature,
-                                 repetition_penalty, stream_q=stream_q)
+                                 repetition_penalty, subtalker_dosample,
+                                 subtalker_top_k, subtalker_top_p,
+                                 subtalker_temperature, stream_q=stream_q)
         self._queue.put(req)
         self._wake.set()
 
@@ -207,8 +234,11 @@ class ContinuousBatcher:
         self.trailing = jnp.zeros((b, self.trailing_cap, self.cfg.hidden_size),
                                   self.dtype)
         self.pad_embed = jnp.zeros((1, self.cfg.hidden_size), self.dtype)
-        # per-slot talker sampling knobs (traced inputs of the shared program)
+        # per-slot talker + sub-talker sampling knobs (traced inputs of the
+        # shared program; the reference honors subtalker_* per call,
+        # qwen3_tts_model.py:287-352)
         self.samp = BatchedSampling.broadcast(self.sampling, b)
+        self.sub_samp = BatchedSampling.broadcast(self.sub_sampling, b)
 
     def _bucket(self, t: int) -> int:
         """Smallest power-of-two window >= t (min 32, capped at cache_len)."""
@@ -290,13 +320,16 @@ class ContinuousBatcher:
     def _burst_fn(self):
         cfg = self.cfg
 
-        @jax.jit
-        def burst(params, state, trailing, pad_embed, pad_mask, samp):
+        # state donated: the KV cache aliases in place across bursts instead
+        # of copying the full cache every burst (r3 profiling finding)
+        @functools.partial(jax.jit, donate_argnums=(1,))
+        def burst(params, state, trailing, pad_embed, pad_mask, samp,
+                  sub_samp):
             def body(carry, _):
                 st = carry
                 st, frame, _ = talker_decode_step(
                     params, cfg, st, trailing, pad_embed, pad_mask,
-                    samp, self.sub_sampling, self.suppress)
+                    samp, sub_samp, self.suppress)
                 return st, frame
             state, frames = jax.lax.scan(body, state, None,
                                          length=self.burst_frames)
@@ -358,6 +391,7 @@ class ContinuousBatcher:
             # for every request), so the batch-global assignment is safe
             self.pad_embed = p.tts_pad_embed.astype(self.dtype)
             self.samp = self.samp.row(slot, req.sampling)
+            self.sub_samp = self.sub_samp.row(slot, req.sub_sampling)
 
             key = jax.random.PRNGKey(np.random.randint(0, 2**31))
             samp_row = BatchedSampling(
@@ -418,7 +452,7 @@ class ContinuousBatcher:
                 continue
             self.state, frames = self._burst_fn(
                 self.model.talker_params, self.state, self.trailing,
-                self.pad_embed, self.pad_mask, self.samp)
+                self.pad_embed, self.pad_mask, self.samp, self.sub_samp)
             self._harvest(np.asarray(frames))
             if (int(self.state.cache.index) >= self.cache_len - self.burst_frames - 1
                     and not self._active):

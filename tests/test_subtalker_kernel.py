@@ -206,3 +206,47 @@ def test_frame_megakernel_serving_batch(quantized_params):
         packed_params, cfg, past_hidden, first_embed, jax.random.PRNGKey(3),
         sampling)
     assert (codes_ref == codes_frame).all()
+
+
+def test_frame_megakernel_per_row_sampling(quantized_params):
+    """Per-ROW traced sampling knobs (continuous batching, r2 verdict weak
+    #8): heterogeneous rows — sampled top-k, greedy-as-top_k=1, nucleus —
+    through the megakernel must match the XLA batched processor chain
+    draw-for-draw, and broadcasting a static config must reproduce the
+    static specialization."""
+    from qwen3_tts_tpu.nn.sampling import BatchedSampling
+
+    cfg, params = quantized_params
+    packed_params = pack_talker_params(params)
+
+    b = 3
+    k1, k2 = jax.random.split(jax.random.PRNGKey(41))
+    past_hidden = (jax.random.normal(k1, (b, cfg.hidden_size)) * 0.5).astype(jnp.bfloat16)
+    first_embed = (jax.random.normal(k2, (b, cfg.hidden_size)) * 0.5).astype(jnp.bfloat16)
+
+    bs = BatchedSampling.broadcast(SamplingConfig(), b)
+    bs = bs.row(0, SamplingConfig(do_sample=True, top_k=7, temperature=0.9))
+    bs = bs.row(1, SamplingConfig(do_sample=False))  # greedy -> top_k=1
+    bs = bs.row(2, SamplingConfig(do_sample=True, top_k=0, top_p=0.8,
+                                  temperature=1.3))
+
+    codes_ref, sum_ref = code_predictor_generate(
+        _strip_frame(packed_params), cfg, past_hidden, first_embed,
+        jax.random.PRNGKey(5), bs)
+    codes_frame, sum_frame = code_predictor_generate(
+        packed_params, cfg, past_hidden, first_embed,
+        jax.random.PRNGKey(5), bs)
+    assert (codes_ref == codes_frame).all(), f"{codes_ref}\n{codes_frame}"
+    err = jnp.max(jnp.abs(sum_ref.astype(jnp.float32)
+                          - sum_frame.astype(jnp.float32)))
+    assert err < 0.15, err
+
+    # broadcast(static) == static specialization
+    static = SamplingConfig(do_sample=True, top_k=7, temperature=0.9)
+    c_static, _ = code_predictor_generate(
+        packed_params, cfg, past_hidden, first_embed,
+        jax.random.PRNGKey(9), static)
+    c_bcast, _ = code_predictor_generate(
+        packed_params, cfg, past_hidden, first_embed,
+        jax.random.PRNGKey(9), BatchedSampling.broadcast(static, b))
+    assert (c_static == c_bcast).all()

@@ -11,9 +11,9 @@ from the flat (unrolled) graph by ~1 bf16 ulp; the residual stream doubles
 that per layer. Replacing the fori_loop with a static Python loop (or
 `unroll=True`) reproduces the unrolled kernel BITWISE, which proves the DMA
 schedule itself is exact — so these tests assert allclose at a few-ulp
-tolerance rather than array equality. On real TPU hardware the rolled and
-unrolled kernels execute identical per-tile ops (HW-parity-checked each
-round via examples/bench_step_loop_compile.py)."""
+tolerance rather than array equality. Rolled-vs-unrolled parity on real
+hardware is checked by `examples/bench_step_loop_compile.py --check-parity`
+(device-side output comparison on identical weights/state)."""
 
 import numpy as np
 import pytest
@@ -94,12 +94,14 @@ def test_loop_kernel_matches_xla(setup):
     scale = float(jnp.max(jnp.abs(ref_logits))) + 1e-6
     err = float(jnp.max(jnp.abs(got_logits - ref_logits)))
     assert err / scale < 0.05, f"logits mismatch rel {err / scale}"
+    # atol covers the O(1) post-norm K/V range; rtol keeps the bound valid
+    # if magnitudes grow past 8 (one bf16 ulp > 0.04 there — r2 advice)
     np.testing.assert_allclose(
         np.asarray(kc, np.float32), np.asarray(ref_cache.k, np.float32),
-        atol=0.04, rtol=0.0)
+        atol=0.04, rtol=0.01)
     np.testing.assert_allclose(
         np.asarray(vc, np.float32), np.asarray(ref_cache.v, np.float32),
-        atol=0.04, rtol=0.0)
+        atol=0.04, rtol=0.01)
 
 
 def test_loop_kernel_matches_unrolled(setup):
