@@ -270,9 +270,17 @@ def main():
     budget = float(os.environ.get("BENCH_BUDGET_S", "420"))
     threading.Thread(target=_watchdog, args=(budget,), daemon=True).start()
 
-    serve_batch = int(os.environ.get("BENCH_BATCH", "32"))
+    # serve batch 64: the r3 sweep measured the full int8 decode step at
+    # 9.2/13.9/22.5/47.4 ms for b=32/64/96/128 (cache 512) — 64 is the
+    # frames/s optimum (4600 f/s). The vocoder runs in sub-batches of 32:
+    # its near-output convs materialize ~6.6 GB intermediates per 32 rows
+    # at the 300-frame chunk (b=64 vocode OOMs), and 32 already saturates
+    # its throughput (~646 audio_s/s).
+    serve_batch = int(os.environ.get("BENCH_BATCH", "64"))
+    voc_batch = min(serve_batch, 32)
     full = os.environ.get("BENCH_FULL", "") == "1"
     _detail["serve_batch"] = serve_batch
+    _detail["vocoder_batch"] = voc_batch
     _detail["device"] = str(jax.devices()[0])
 
     # Phase order is tunnel-robustness order (the RPC-tunneled TPU link
@@ -311,7 +319,7 @@ def main():
     # serving chunk (each updates the headline with measured numbers) ---
     for frames, tag in ((75, "measured_f75"), (300, "measured_f300")):
         _note(f"vocoder_bN_{tag}")
-        voc_audio_n = bench_vocoder(frames=frames, batch=serve_batch)
+        voc_audio_n = bench_vocoder(frames=frames, batch=voc_batch)
         _detail["vocoder_audio_s_per_s_bN"] = round(voc_audio_n, 3)
         _detail["vocoder_state"] = tag
         combined = 1.0 / (FRAME_RATE / lmN_fps + 1.0 / voc_audio_n)

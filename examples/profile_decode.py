@@ -99,19 +99,20 @@ def main():
                   flush=True)
 
     if which in ("phaseB", "all"):
-        print("== phase B: decomposition at b=32 ==", flush=True)
-        ms = _stack_only(32, cache_len)
-        print(f"  talker-stack-only step: {ms*1e3:7.3f} ms", flush=True)
-        for packed, tag in ((False, "xla"), (True, "megakernel")):
-            try:
-                dt = _cp_only(32, packed)
-                print(f"  cp-loop-only ({tag}): {dt*1e3:7.3f} ms", flush=True)
-            except Exception as e:
-                print(f"  cp-loop-only ({tag}) failed: {e!r}", flush=True)
+        for b in (32, 64):
+            print(f"== phase B: decomposition at b={b} ==", flush=True)
+            ms = _stack_only(b, cache_len)
+            print(f"  talker-stack-only step: {ms*1e3:7.3f} ms", flush=True)
+            for packed, tag in ((False, "xla"), (True, "megakernel")):
+                try:
+                    dt = _cp_only(b, packed)
+                    print(f"  cp-loop-only ({tag}): {dt*1e3:7.3f} ms", flush=True)
+                except Exception as e:
+                    print(f"  cp-loop-only ({tag}) failed: {e!r}", flush=True)
 
     if which in ("phaseC", "all"):
         print("== phase C: vocoder batch sweep (f=300) ==", flush=True)
-        for b in (32, 64, 128):
+        for b in (32, 64):
             t0 = time.time()
             rate = bench.bench_vocoder(frames=300, batch=b)
             print(f"  b={b:4d}  audio_s/s={rate:8.1f}  (wall {time.time()-t0:.0f}s)",

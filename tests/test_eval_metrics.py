@@ -144,3 +144,50 @@ def test_run_baseline_eval_driver():
     assert report.rows["instruct_tts_eval"] == {"aps": 80.0, "dsd": 75.0, "rp": 60.0}
     md = report.to_markdown()
     assert "wer_by_language" in md and "| Metric | Value |" in md
+
+
+def test_run_baseline_gate_tiny_checkpoint(tmp_path_factory):
+    """The weights-day gate script runs end-to-end against the tiny test
+    checkpoint (r2 verdict missing #2): synthesis configs run or are skipped
+    with reasons, and the report serializes to markdown + json."""
+    import jax.numpy as jnp
+    from _checkpoint import StubProcessor, build_checkpoint
+
+    from qwen3_tts_tpu.eval.run_baseline import run_gate
+    from qwen3_tts_tpu.inference.tts_model import Qwen3TTSModel
+
+    d = build_checkpoint(str(tmp_path_factory.mktemp("gate_cv")), "custom_voice")
+    m = Qwen3TTSModel.from_pretrained(d, dtype=jnp.float32, load_processor=False)
+    m.processor = StubProcessor()
+
+    def fake_asr(wav, sr, language):
+        return "the quick brown fox"
+
+    report = run_gate(d, model=m, max_new_tokens=6, asr=fake_asr,
+                      reference_parity=True)
+    rows = report.rows
+    assert rows["config1_custom_voice"]["status"] == "ok"
+    assert rows["config1_custom_voice"]["n"] == 2
+    assert "wer_by_language" in rows and "overall" in rows["wer_by_language"]
+    # reference parity tries to load the torch reference from the checkpoint;
+    # without the full reference deps it must degrade to a reasoned skip
+    assert rows["reference_greedy_parity"]["status"] in ("ok", "skipped")
+    md = report.to_markdown()
+    assert "config1_custom_voice" in md
+    json_str = report.to_json()
+    assert "BASELINE.md" in json_str
+
+    # base checkpoint: clone configs run with ref audio, recon row computes
+    import numpy as np
+    d2 = build_checkpoint(str(tmp_path_factory.mktemp("gate_b")), "base")
+    m2 = Qwen3TTSModel.from_pretrained(d2, dtype=jnp.float32,
+                                       load_processor=False)
+    m2.processor = StubProcessor()
+    t = np.arange(24000) / 24000.0
+    ref = (0.3 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+    report2 = run_gate(d2, model=m2, max_new_tokens=6,
+                      ref_audio=(ref, 24000), ref_text="reference words")
+    rows2 = report2.rows
+    assert rows2["config3_voice_clone_icl"]["status"] == "ok"
+    assert rows2["config4_voice_clone_xvec"]["status"] == "ok"
+    assert "config5_tokenizer_reconstruction" in rows2
