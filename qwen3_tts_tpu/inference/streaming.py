@@ -169,6 +169,27 @@ class StreamingSession:
             emitted = len(self.prefix_codes)  # ref audio is never emitted
         done = False
         pending = first_frames
+        # Vocode/decode overlap (r2 verdict weak #4): vocoder chunks are
+        # DISPATCHED as soon as their frames exist but FETCHED only after
+        # the next decode burst has been dispatched. The device executes its
+        # queue in order (chunk before the burst), so the fetch returns
+        # while the burst is still running and the vocode cost hides inside
+        # the talker loop's host round-trips instead of serializing with
+        # them. The first packet is fetched immediately (latency).
+        in_flight: list = []  # dispatched, not yet fetched vocoder chunks
+
+        def drain():
+            for handle in in_flight:
+                chunk = vocode_fetch(handle)
+                if self.metrics.first_packet_s is None:
+                    self.metrics.first_packet_s = time.perf_counter() - t0
+                self.metrics.packets += 1
+                self.metrics.audio_s += (
+                    len(chunk)
+                    / self.model.speech_tokenizer.get_output_sample_rate())
+                yield chunk
+            in_flight.clear()
+
         while not done and self.metrics.frames < self.max_frames:
             if pending is not None:
                 frames = pending
@@ -176,6 +197,7 @@ class StreamingSession:
             else:
                 state, frames = burst(model.talker_params, state, trailing,
                                       pad_embed, pad_mask_full, suppress)
+                yield from drain()  # overlaps with the burst just dispatched
             fr = np.asarray(frames[0])  # (burst, groups)
             eos = fr[:, 0] == cfg.codec_eos_token_id
             if eos.any():
@@ -188,25 +210,28 @@ class StreamingSession:
             step = max(self.emit_chunk_frames, 1)
             while (total - emitted >= step) or (done and total > emitted):
                 end = min(emitted + step, total)
-                chunk = self._vocode_range(np.concatenate(frames_buf), emitted, end)
+                in_flight.append(self._vocode_dispatch(
+                    np.concatenate(frames_buf), emitted, end))
                 emitted = end
-                if self.metrics.first_packet_s is None:
-                    self.metrics.first_packet_s = time.perf_counter() - t0
-                self.metrics.packets += 1
-                self.metrics.audio_s += (
-                    len(chunk) / self.model.speech_tokenizer.get_output_sample_rate())
-                yield chunk
+            if self.metrics.first_packet_s is None and in_flight:
+                yield from drain()  # first packet: don't defer
+        yield from drain()
         self.metrics.wall_s = time.perf_counter() - t0
+
+    def _vocode_dispatch(self, frames: np.ndarray, start: int, end: int):
+        return vocode_dispatch(self.model, frames, start, end,
+                               self.left_context)
 
     def _vocode_range(self, frames: np.ndarray, start: int, end: int) -> np.ndarray:
         return vocode_range(self.model, frames, start, end, self.left_context)
 
 
-def vocode_range(model, frames: np.ndarray, start: int, end: int,
-                 left_context: int = 25) -> np.ndarray:
-    """Vocode frames[start:end] with left context (reference chunked
-    semantics: re-decode `left_context` context frames, emit the tail).
-    Shared by StreamingSession and the continuous batcher's stream path."""
+def vocode_dispatch(model, frames: np.ndarray, start: int, end: int,
+                    left_context: int = 25):
+    """Dispatch the chunked vocode of frames[start:end] (reference chunked
+    semantics: re-decode `left_context` context frames, emit the tail)
+    WITHOUT fetching — returns an opaque handle for `vocode_fetch`. Lets the
+    caller overlap vocoding with the next decode burst on the device."""
     st = model.speech_tokenizer
     ctx = min(left_context, start)
     codes = frames[start - ctx:end]  # (n, groups)
@@ -218,9 +243,22 @@ def vocode_range(model, frames: np.ndarray, start: int, end: int,
 
         st._decode_jit[key] = jax.jit(
             lambda p, c: codec_decode(p, st.config.decoder, c))
-    wav = np.asarray(st._decode_jit[key](st.decoder_params, jnp.asarray(batch)))
+    wav = st._decode_jit[key](st.decoder_params, jnp.asarray(batch))
     up = st.config.decoder.total_upsample
-    return wav[0, ctx * up:].astype(np.float32)
+    return wav, ctx * up
+
+
+def vocode_fetch(handle) -> np.ndarray:
+    """Fetch a `vocode_dispatch` result to host and cut the context."""
+    wav, cut = handle
+    return np.asarray(wav)[0, cut:].astype(np.float32)
+
+
+def vocode_range(model, frames: np.ndarray, start: int, end: int,
+                 left_context: int = 25) -> np.ndarray:
+    """Synchronous vocode of frames[start:end] (dispatch + fetch). Shared by
+    StreamingSession's first packet and the continuous batcher's stream path."""
+    return vocode_fetch(vocode_dispatch(model, frames, start, end, left_context))
 
 
 def _session_from_prompt(model, prompt, gk: dict, emit_chunk_frames: int,

@@ -78,10 +78,70 @@ def apply_repetition_penalty(logits: jax.Array, seen: jax.Array, penalty: float)
     return jnp.where(seen, penalized, logits)
 
 
+# Threshold search: top-k and nucleus masking need the k-th-largest logit /
+# the smallest nucleus-kept logit per row, NOT a full ordering — a bisection
+# on the value range finds either threshold in _BISECT_ITERS cheap
+# compare-reduce passes instead of a (B, V) bitonic sort. At the b=64
+# serving shape the two sorts were ~3.7 ms of the 13.9 ms decode step (r3
+# profiling); the bisection is ~0.2 ms. Masking by the bisected threshold
+# reproduces the sort-based kept set exactly on tie-free logits (the same
+# scheme is parity-tested draw-for-draw inside ops/subtalker_frame.py).
+_BISECT_ITERS = 40
+
+
+# Bracket clamp: suppressed lanes sit at NEG_INF, which would stretch the
+# bisection bracket to ~1e9 wide (resolution 1e9/2^40 ~ 1e-3 — coarser than
+# real logit gaps). Any genuine threshold lies within _BRACKET of the row
+# max for a trained model (logit spans are O(1e2), O(1e5) under extreme
+# temperature); values below hi-_BRACKET can only be suppression constants,
+# and masking those again is a no-op, so clamping is lossless and tightens
+# the resolution to _BRACKET/2^40 ~ 1e-7.
+_BRACKET = 131072.0
+
+
+def _kth_largest(logits: jax.Array, k: jax.Array | int) -> jax.Array:
+    """Per-row k-th largest value by bisection; k broadcastable (B,1) or int."""
+    hi = jnp.max(logits, axis=-1, keepdims=True)
+    lo = jnp.maximum(jnp.min(logits, axis=-1, keepdims=True), hi - _BRACKET)
+
+    def cnt_ge(t):
+        return jnp.sum((logits >= t).astype(jnp.int32), axis=-1, keepdims=True)
+
+    for _ in range(_BISECT_ITERS):
+        mid = 0.5 * (lo + hi)
+        ge = cnt_ge(mid) >= k
+        lo = jnp.where(ge, mid, lo)
+        hi = jnp.where(ge, hi, mid)
+    return jnp.where(cnt_ge(hi) >= k, hi, lo)
+
+
+def _nucleus_floor(logits: jax.Array, p: jax.Array) -> jax.Array:
+    """Per-row largest t whose strictly-above prob mass is still >= p; the
+    nucleus-kept set is then {logits > t} (equals the sort-based HF
+    TopPLogitsWarper kept set, min_tokens_to_keep=1). p broadcastable (B,1)."""
+    mx = jnp.max(logits, axis=-1, keepdims=True)
+    ex = jnp.exp(logits - mx)
+    probs = ex / jnp.sum(ex, axis=-1, keepdims=True)
+
+    def tail_mass(t):
+        return jnp.sum(jnp.where(logits > t, probs, 0.0), axis=-1,
+                       keepdims=True)
+
+    lo = jnp.maximum(jnp.min(logits, axis=-1, keepdims=True) - 1.0,
+                     mx - _BRACKET)
+    hi = mx
+    for _ in range(_BISECT_ITERS):
+        mid = 0.5 * (lo + hi)
+        below = tail_mass(mid) < p
+        lo = jnp.where(below, lo, mid)
+        hi = jnp.where(below, mid, hi)
+    return lo
+
+
 def apply_top_k(logits: jax.Array, k: int) -> jax.Array:
     if k <= 0 or k >= logits.shape[-1]:
         return logits
-    kth = jax.lax.top_k(logits, k)[0][..., -1:]
+    kth = _kth_largest(logits, k)
     return jnp.where(logits < kth, NEG_INF, logits)
 
 
@@ -91,36 +151,23 @@ def apply_top_p(logits: jax.Array, p: float) -> jax.Array:
     min_tokens_to_keep=1)."""
     if p >= 1.0:
         return logits
-    sorted_logits = jnp.sort(logits, axis=-1)  # ascending
-    cum = jnp.cumsum(jax.nn.softmax(sorted_logits, axis=-1), axis=-1)
-    # HF removes tokens with cumulative prob (from the low end) <= 1 - p,
-    # always keeping the final (highest) token.
-    sorted_keep = cum > (1.0 - p)
-    sorted_keep = sorted_keep.at[..., -1].set(True)
-    # threshold = smallest kept logit
-    thresh = jnp.min(jnp.where(sorted_keep, sorted_logits, jnp.inf), axis=-1, keepdims=True)
-    return jnp.where(logits < thresh, NEG_INF, logits)
+    floor = _nucleus_floor(logits, jnp.float32(p))
+    return jnp.where(logits > floor, logits, NEG_INF)
 
 
 def apply_top_k_batched(logits: jax.Array, k: jax.Array) -> jax.Array:
     """Per-row top-k: k (B,) int32; rows with k<=0 or k>=V pass through."""
     v = logits.shape[-1]
-    kc = jnp.clip(k, 1, v)
-    sorted_asc = jnp.sort(logits, axis=-1)
-    kth = jnp.take_along_axis(sorted_asc, (v - kc)[:, None], axis=-1)
+    kth = _kth_largest(logits, jnp.clip(k, 1, v)[:, None])
     active = ((k > 0) & (k < v))[:, None]
     return jnp.where(active & (logits < kth), NEG_INF, logits)
 
 
 def apply_top_p_batched(logits: jax.Array, p: jax.Array) -> jax.Array:
     """Per-row nucleus filtering: p (B,) float32; rows with p>=1 pass through."""
-    sorted_asc = jnp.sort(logits, axis=-1)
-    cum = jnp.cumsum(jax.nn.softmax(sorted_asc, axis=-1), axis=-1)
-    keep = cum > (1.0 - p)[:, None]
-    keep = keep.at[..., -1].set(True)
-    thresh = jnp.min(jnp.where(keep, sorted_asc, jnp.inf), axis=-1, keepdims=True)
+    floor = _nucleus_floor(logits, p[:, None])
     active = (p < 1.0)[:, None]
-    return jnp.where(active & (logits < thresh), NEG_INF, logits)
+    return jnp.where(active & (logits <= floor), NEG_INF, logits)
 
 
 def _process_logits_batched(
