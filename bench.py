@@ -123,7 +123,7 @@ def _params_like(init_fn, *args, dtype):
 
 def bench_talker(batch: int = 1, cache_len: int = 512, steps: int = 64,
                  quantize: bool = False, packed: bool = False,
-                 step_kernel: bool = True):
+                 step_kernel: bool = True, kv_quant: bool = False):
     cfg = talker_1p7b()
     spec = talker_spec(cfg)
     dtype = jnp.bfloat16
@@ -143,7 +143,8 @@ def bench_talker(batch: int = 1, cache_len: int = 512, steps: int = 64,
             # cheaper Mosaic compile than the 28-layer fused step kernel
             params.pop("talker_kernel", None)
     cache = KVCache.create(spec.num_layers, batch, cache_len, spec.num_kv_heads,
-                           spec.head_dim, dtype=dtype)
+                           spec.head_dim,
+                           dtype=jnp.int8 if kv_quant else dtype)
     cache = cache._replace(index=jnp.asarray(64, jnp.int32))
     state = TalkerState(
         cache=cache,
@@ -324,6 +325,22 @@ def main():
         _detail["vocoder_state"] = tag
         combined = 1.0 / (FRAME_RATE / lmN_fps + 1.0 / voc_audio_n)
         _detail["_best_audio_s"] = combined
+
+    # --- 2b. int8 KV cache serving variant: halves the dominant HBM term
+    # (KV read) of the decode step; scales fold into the attention dots so
+    # nothing dequantized materializes (nn/cache.py). Kept as a measured
+    # variant — the headline switches to it only if faster.
+    _note("talker_bN_int8kv")
+    try:
+        kvN_fps, kvN_ms = bench_talker(batch=serve_batch, quantize=True,
+                                       kv_quant=True)
+        _detail["talker_step_ms_bN_int8kv"] = round(kvN_ms * 1e3, 3)
+        if kvN_fps > lmN_fps:
+            lmN_fps, lmN_ms = kvN_fps, kvN_ms
+            serving_config = "int8+int8kv"
+            _update_headline()
+    except Exception as e:
+        print(f"int8-kv variant failed: {e!r}", file=sys.stderr, flush=True)
 
     # --- 3. single-stream latency, plain int8 (cheap compile; the fused
     # kernels are attempted at the end as pure improvements) ---

@@ -476,6 +476,7 @@ def talker_decode_step(
     use_step_kernel = (
         "talker_kernel" in params
         and spec.sliding_window is None
+        and not state.cache.quantized  # kernel streams a bf16 cache
         and b <= 64 and state.cache.max_len <= 4096)
     if use_step_kernel:
         # layer-pair fori_loop edition for even L (both production talkers):

@@ -34,6 +34,40 @@ def make_prefill_mask(attention_mask: jax.Array, q_len: int,
     return cm[None, None] & pad
 
 
+def gqa_attention_quant(q: jax.Array, k_q: jax.Array, k_s: jax.Array,
+                        v_q: jax.Array, v_s: jax.Array,
+                        mask: jax.Array | None, scaling: float) -> jax.Array:
+    """GQA over an int8-quantized KV cache with per-slot scales.
+
+    q: (B, T, H, D); k_q/v_q: (B, S, H_kv, D) int8; k_s/v_s: (B, S, H_kv).
+    The scales are folded OUTSIDE the dots — scores = (q . k_q) * k_s and
+    ctx = (probs * v_s) . v_q — mathematically exact per-slot dequant
+    without ever materializing a bf16 copy of the cache (the int8->bf16
+    convert fuses into the dot operand reads like the int8 weight path)."""
+    b, t, h, d = q.shape
+    h_kv = k_q.shape[2]
+    g = h // h_kv
+    q = q.reshape(b, t, h_kv, g, d)
+
+    scores = jnp.einsum("bthgd,bshd->bhgts", q, k_q.astype(q.dtype),
+                        preferred_element_type=jnp.float32)
+    scores = scores * scaling
+    # per-slot k scale: (B, S, H_kv) -> (B, H_kv, 1, 1, S)
+    scores = scores * jnp.transpose(k_s, (0, 2, 1)).astype(
+        jnp.float32)[:, :, None, None, :]
+    if mask is not None:
+        if mask.ndim == 4:  # (B, 1, T, S) -> (B, 1, 1, T, S)
+            mask = mask[:, :, None]
+        scores = jnp.where(mask, scores, NEG_INF)
+    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+    probs = probs * jnp.transpose(v_s, (0, 2, 1)).astype(
+        jnp.float32)[:, :, None, None, :]
+    out_dtype = q.dtype
+    out = jnp.einsum("bhgts,bshd->bthgd", probs.astype(out_dtype),
+                     v_q.astype(out_dtype))
+    return out.reshape(b, t, h, d).astype(out_dtype)
+
+
 def gqa_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                   mask: jax.Array | None, scaling: float) -> jax.Array:
     """Grouped-query attention.

@@ -19,20 +19,43 @@ class KVCache(NamedTuple):
     k: jax.Array  # (L, B, S_max, H_kv, D)
     v: jax.Array  # (L, B, S_max, H_kv, D)
     index: jax.Array  # scalar int32: number of positions written
+    # int8 cache only (k/v dtype int8): per-slot max-abs scales. The
+    # attention path folds them into the score/context dots — scores =
+    # (q . k_q) * k_scale and ctx = (p * v_scale) . v_q — so the int8->bf16
+    # converts fuse into the dots and the dequantized cache is never
+    # materialized. Halves the dominant HBM term of the serving decode step
+    # (KV read was 3.7 GB of the ~5.2 GB/step roofline at b=64, r3 notes).
+    k_scale: jax.Array | None = None  # (L, B, S_max, H_kv) bf16
+    v_scale: jax.Array | None = None  # (L, B, S_max, H_kv) bf16
 
     @property
     def max_len(self) -> int:
         return self.k.shape[2]
 
+    @property
+    def quantized(self) -> bool:
+        return self.k_scale is not None
+
     @classmethod
     def create(cls, num_layers: int, batch: int, max_len: int, num_kv_heads: int,
                head_dim: int, dtype=jnp.bfloat16) -> "KVCache":
         shape = (num_layers, batch, max_len, num_kv_heads, head_dim)
+        quant = dtype == jnp.int8
         return cls(
             k=jnp.zeros(shape, dtype=dtype),
             v=jnp.zeros(shape, dtype=dtype),
             index=jnp.zeros((), dtype=jnp.int32),
+            k_scale=jnp.zeros(shape[:-1], jnp.bfloat16) if quant else None,
+            v_scale=jnp.zeros(shape[:-1], jnp.bfloat16) if quant else None,
         )
+
+
+def quantize_kv(x: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """(..., D) bf16 -> (int8 values, (...,) bf16 max-abs/127 scale)."""
+    xf = x.astype(jnp.float32)
+    scale = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1), 1e-8) / 127.0
+    q = jnp.clip(jnp.round(xf / scale[..., None]), -127, 127).astype(jnp.int8)
+    return q, scale.astype(jnp.bfloat16)
 
 
 def cache_update_layer(cache: KVCache, layer: int, k_new: jax.Array,
