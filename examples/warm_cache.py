@@ -6,8 +6,10 @@ compile inside the bench budget -> watchdog result. This script:
 
   1. runs `python bench.py` once (the WARM pass — every phase compiles and
      its executable lands in .jax_cache/);
-  2. prunes cache entries not touched by the warm pass (stale blobs from
-     older source revisions would otherwise accumulate in git);
+  2. with --prune, STASHES every existing entry first so the warm pass
+     rebuilds the exact working set from scratch, then deletes the stash
+     (access times are unreliable under relatime, so "was this entry read"
+     cannot be observed — rebuild-from-empty is the only sound prune);
   3. runs `python bench.py` again (the VERIFY pass) and FAILS if it took
      longer than --verify-budget seconds (a cold compile of any serving
      phase costs minutes; a fully warm run takes ~2 min incl. device time);
@@ -75,24 +77,30 @@ def main():
     ap.add_argument("--warm-budget", type=int, default=3000)
     ap.add_argument("--skip-warm", action="store_true",
                     help="only verify (cache assumed already warm)")
+    ap.add_argument("--prune", action="store_true",
+                    help="rebuild the cache from empty (exact bench set)")
     args = ap.parse_args()
 
     os.makedirs(CACHE, exist_ok=True)
     if not args.skip_warm:
-        warm_start = time.time()
+        if args.prune:
+            stash = os.path.join(CACHE, "_stash")
+            os.makedirs(stash, exist_ok=True)
+            n = 0
+            for f in os.listdir(CACHE):
+                p = os.path.join(CACHE, f)
+                if os.path.isfile(p) and f != "MANIFEST.json":
+                    os.rename(p, os.path.join(stash, f))
+                    n += 1
+            print(f"stashed {n} entries; warm pass rebuilds from empty",
+                  flush=True)
         run_bench("warm", args.warm_budget)
-        # prune entries the warm pass neither wrote nor read (atime/mtime
-        # older than the pass start): stale blobs from edited sources
-        pruned = 0
-        for f in os.listdir(CACHE):
-            p = os.path.join(CACHE, f)
-            if f == "MANIFEST.json" or not os.path.isfile(p):
-                continue
-            if max(os.path.getatime(p), os.path.getmtime(p)) < warm_start - 5:
-                os.unlink(p)
-                pruned += 1
-        if pruned:
-            print(f"pruned {pruned} stale cache entries", flush=True)
+        if args.prune:
+            import shutil
+
+            shutil.rmtree(stash)
+            print("stash deleted (cache now holds exactly the bench set)",
+                  flush=True)
 
     verify_start = time.time()
     dt, line = run_bench("verify", max(args.verify_budget, 60))
