@@ -385,14 +385,19 @@ def main():
     # per-dispatch measurement overhead), so their ceiling is <0.5 ms
     # against a tens-of-minutes Mosaic cold compile (NOTES.md). They remain
     # parity-tested opt-ins via quantization="int8-kernel".
-    # The step kernel's target is real (talker stack 9.75 ms measured vs
-    # ~6.5 ms streamed-weight roofline at b=64); attempt it only when
-    # BENCH_TRY_STEP_KERNEL=1 or its warm cache entry exists (marker file
+    # Attempt a batch's kernel phase only when BENCH_TRY_STEP_KERNEL=1 or
+    # that batch's warm-cache marker exists (STEP_KERNEL_WARM_B{batch},
     # written by examples/bench_step_loop_compile.py after a successful
-    # compile), so a driver run never eats a cold Mosaic compile.
-    marker = os.path.join(_CACHE_DIR, "STEP_KERNEL_WARM")
-    if (os.environ.get("BENCH_TRY_STEP_KERNEL", "") == "1"
-            or os.path.exists(marker)):
+    # compile+measure), so a driver run never eats a cold Mosaic compile.
+    # r3 hardware measurements: b=64 kernel 16.10 ms vs 12.95 XLA (retired
+    # from serving); b=1 kernel 5.109 ms vs 5.55 XLA (kept for the
+    # single-stream latency config).
+    def _kernel_warm(batch: int) -> bool:
+        return (os.environ.get("BENCH_TRY_STEP_KERNEL", "") == "1"
+                or os.path.exists(os.path.join(
+                    _CACHE_DIR, f"STEP_KERNEL_WARM_B{batch}")))
+
+    if _kernel_warm(serve_batch):
         _note("talker_bN_int8_kernel_stepfused")
         try:
             kN_fps, kN_ms = bench_talker(batch=serve_batch, quantize=True,
@@ -404,6 +409,21 @@ def main():
                 _update_headline()  # voc_audio_n holds measured_f300
         except Exception as e:  # kernels must never take down the bench
             print(f"step-kernel variant failed: {e!r}", file=sys.stderr,
+                  flush=True)
+    if _kernel_warm(1):
+        _note("talker_b1_int8_kernel_stepfused")
+        try:
+            k1_fps, k1_ms = bench_talker(batch=1, quantize=True,
+                                         packed=True, step_kernel=True)
+            _detail["talker_step_ms_b1_kernel_stepfused"] = round(k1_ms * 1e3, 3)
+            if k1_fps > lm1_fps:
+                lm1_fps, lm1_ms = k1_fps, k1_ms
+                _detail["talker_b1_config"] = "int8+kernel-stepfused"
+                _detail["talker_step_ms_b1"] = round(k1_ms * 1e3, 3)
+                _detail["single_stream_audio_s_per_s"] = round(
+                    1.0 / (FRAME_RATE / lm1_fps + 1.0 / voc_audio_1), 3)
+        except Exception as e:
+            print(f"b=1 step-kernel variant failed: {e!r}", file=sys.stderr,
                   flush=True)
 
     _note("done")

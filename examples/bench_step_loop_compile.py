@@ -93,9 +93,9 @@ def main():
     t1 = time.time()
     print(f"compile+warmup+measure: {t1 - t0:.1f}s  "
           f"step={ms * 1e3:.3f} ms  frames/s={fps:.1f}", flush=True)
-    # marker: tells bench.py the kernel's cache entry exists so it may
-    # attempt the kernel phase without risking a cold Mosaic compile
-    with open(os.path.join(_CACHE_DIR, "STEP_KERNEL_WARM"), "w") as f:
+    # marker: tells bench.py this BATCH's kernel cache entry exists so it
+    # may attempt that kernel phase without risking a cold Mosaic compile
+    with open(os.path.join(_CACHE_DIR, f"STEP_KERNEL_WARM_B{batch}"), "w") as f:
         f.write(f"batch={batch} cache_len={cache_len} step_ms={ms * 1e3:.3f} "
                 f"compile_s={t1 - t0:.1f}\n")
 
