@@ -134,3 +134,34 @@ def test_mimi_encode_parity(mimi):
 if __name__ == "__main__":
     import sys
     sys.exit(pytest.main([__file__, "-q", "-x"]))
+
+
+def test_fused_seanet_unit_parity():
+    """ops/seanet_unit.py (Pallas fused residual unit, interpret mode) vs
+    the XLA unit. HW verdict in NOTES.md: measured SLOWER than the XLA conv
+    path at every SEANet shape (the small-channel conv's MXU underfill is
+    intrinsic; channel-padding 48->128 costs more than fusion saves), so it
+    is an opt-in artifact — parity is kept asserted so the measurement can
+    be revisited on future hardware/toolchains."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from qwen3_tts_tpu.models.codec_decoder import residual_unit
+    from qwen3_tts_tpu.ops.seanet_unit import fused_residual_unit
+
+    key = jax.random.PRNGKey(0)
+    for c, dil, t in ((48, 9, 1100), (96, 3, 1024)):
+        ks = jax.random.split(key, 10)
+        p = {name: (jax.random.normal(kk, s) * 0.1).astype(jnp.bfloat16)
+             for name, kk, s in [
+                 ("conv1_w", ks[0], (7, c, c)), ("conv1_b", ks[1], (c,)),
+                 ("conv2_w", ks[2], (1, c, c)), ("conv2_b", ks[3], (c,)),
+                 ("act1_alpha", ks[4], (c,)), ("act1_beta", ks[5], (c,)),
+                 ("act2_alpha", ks[6], (c,)), ("act2_beta", ks[7], (c,))]}
+        x = (jax.random.normal(ks[8], (2, t, c)) * 0.5).astype(jnp.bfloat16)
+        ref = np.asarray(residual_unit(x, p, dil), np.float32)
+        got = np.asarray(fused_residual_unit(x, p, dil, interpret=True),
+                         np.float32)
+        scale = np.abs(ref).max() + 1e-9
+        assert np.abs(got - ref).max() / scale < 0.02
