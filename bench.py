@@ -271,13 +271,14 @@ def main():
     budget = float(os.environ.get("BENCH_BUDGET_S", "420"))
     threading.Thread(target=_watchdog, args=(budget,), daemon=True).start()
 
-    # serve batch 64: the r3 sweep measured the full int8 decode step at
-    # 9.2/13.9/22.5/47.4 ms for b=32/64/96/128 (cache 512) — 64 is the
-    # frames/s optimum (4600 f/s). The vocoder runs in sub-batches of 32:
-    # its near-output convs materialize ~6.6 GB intermediates per 32 rows
-    # at the 300-frame chunk (b=64 vocode OOMs), and 32 already saturates
-    # its throughput (~646 audio_s/s).
-    serve_batch = int(os.environ.get("BENCH_BATCH", "64"))
+    # serve batch 80: r3 sweeps measured the full decode step at
+    # 9.2/13.9/22.5/47.4 ms for b=32/64/96/128 bf16-KV (cache 512) and,
+    # with the int8 KV cache, 11.3/13.5/18.9 ms at b=64/80/96 — b=80 is
+    # the frames/s optimum (5909 f/s). The vocoder runs in sub-batches of
+    # 32: its near-output convs materialize ~6.6 GB intermediates per 32
+    # rows at the 300-frame chunk (larger vocode batches OOM), and 32
+    # already saturates its throughput (~646 audio_s/s).
+    serve_batch = int(os.environ.get("BENCH_BATCH", "80"))
     voc_batch = min(serve_batch, 32)
     full = os.environ.get("BENCH_FULL", "") == "1"
     _detail["serve_batch"] = serve_batch

@@ -89,7 +89,10 @@ def main():
             n = 0
             for f in os.listdir(CACHE):
                 p = os.path.join(CACHE, f)
-                if os.path.isfile(p) and f != "MANIFEST.json":
+                # markers record which kernel phases are warm; stashing
+                # them would silently drop those phases from the warm pass
+                if (os.path.isfile(p) and f != "MANIFEST.json"
+                        and not f.startswith("STEP_KERNEL_WARM")):
                     os.rename(p, os.path.join(stash, f))
                     n += 1
             print(f"stashed {n} entries; warm pass rebuilds from empty",
