@@ -182,7 +182,11 @@ def apply_top_p(logits: jax.Array, p: float) -> jax.Array:
         thresh = _nucleus_thresh_sorted(logits, p)
         return jnp.where(logits < thresh, NEG_INF, logits)
     floor = _nucleus_floor(logits, jnp.float32(p))
-    return jnp.where(logits > floor, logits, NEG_INF)
+    # min_tokens_to_keep=1: at p->0 the floor converges to the row max and
+    # {logits > floor} is empty; always keep the row argmax (ties included),
+    # matching the sort path which keeps exactly the top token at p=0.
+    keep = (logits > floor) | (logits >= jnp.max(logits, axis=-1, keepdims=True))
+    return jnp.where(keep, logits, NEG_INF)
 
 
 def apply_top_k_batched(logits: jax.Array, k: jax.Array) -> jax.Array:
@@ -204,7 +208,9 @@ def apply_top_p_batched(logits: jax.Array, p: jax.Array) -> jax.Array:
         thresh = _nucleus_thresh_sorted(logits, p[:, None])
         return jnp.where(active & (logits < thresh), NEG_INF, logits)
     floor = _nucleus_floor(logits, p[:, None])
-    return jnp.where(active & (logits <= floor), NEG_INF, logits)
+    # min_tokens_to_keep=1 (see apply_top_p): the row argmax always survives.
+    keep = (logits > floor) | (logits >= jnp.max(logits, axis=-1, keepdims=True))
+    return jnp.where(active & ~keep, NEG_INF, logits)
 
 
 def _process_logits_batched(

@@ -186,6 +186,71 @@ def test_suppress_mask():
     assert m[3071] and m[2048] and not m[2150] and not m[2047]
 
 
+def test_bisect_topk_matches_sort_path_large_batch():
+    """Serving-default bisection path (batch >= 16) vs the sorted kept set,
+    including suppressed rows (NEG_INF lanes) and k > finite-lane count."""
+    from qwen3_tts_tpu.nn.sampling import _BISECT_MIN_BATCH, apply_top_k_batched
+
+    rng = np.random.default_rng(0)
+    b, v = max(_BISECT_MIN_BATCH, 20), 257
+    logits = rng.standard_normal((b, v)).astype(np.float32) * 3
+    logits[3, 40:] = -1e9            # suppressed band
+    logits[5, 1:] = -1e9             # only one finite lane, k=50 > finite count
+    k = rng.integers(1, 64, size=(b,)).astype(np.int32)
+    k[5] = 50
+    k[7] = 0                         # disabled row passes through
+    got = np.asarray(apply_top_k_batched(jnp.asarray(logits), jnp.asarray(k)))
+    for r in range(b):
+        kept = got[r] > -1e8
+        if k[r] <= 0 or k[r] >= v:
+            assert kept.sum() == (logits[r] > -1e8).sum()
+            continue
+        order = np.argsort(logits[r])[::-1]
+        ref_kept = np.zeros(v, bool)
+        ref_kept[order[:k[r]]] = True
+        ref_kept &= logits[r] > -1e8   # NEG_INF lanes never survive masking
+        np.testing.assert_array_equal(kept, ref_kept, err_msg=f"row {r}")
+
+
+def test_bisect_topp_matches_sort_path_large_batch():
+    """Bisection nucleus path vs sorted-path kept sets at batch >= 16,
+    including boundary p values 0.0 and 1.0 (min_tokens_to_keep=1)."""
+    from qwen3_tts_tpu.nn.sampling import (_BISECT_MIN_BATCH, apply_top_p_batched,
+                                           _nucleus_thresh_sorted)
+
+    rng = np.random.default_rng(1)
+    b, v = max(_BISECT_MIN_BATCH, 20), 197
+    logits = rng.standard_normal((b, v)).astype(np.float32) * 2
+    logits[2, 10:] = -1e9
+    p = rng.uniform(0.05, 0.95, size=(b,)).astype(np.float32)
+    p[0] = 0.0   # must keep exactly the argmax, not mask everything
+    p[1] = 1.0   # disabled
+    p[4] = 1e-6  # near-zero
+    got = np.asarray(apply_top_p_batched(jnp.asarray(logits), jnp.asarray(p)))
+    jl = jnp.asarray(logits)
+    thresh = np.asarray(_nucleus_thresh_sorted(jl, jnp.asarray(p)[:, None]))
+    for r in range(b):
+        kept = got[r] > -1e8
+        assert kept.sum() >= 1, f"row {r}: all tokens masked (p={p[r]})"
+        if p[r] >= 1.0:
+            np.testing.assert_array_equal(kept, logits[r] > -1e8)
+            continue
+        ref_kept = logits[r] >= thresh[r, 0]
+        np.testing.assert_array_equal(kept, ref_kept, err_msg=f"row {r} p={p[r]}")
+
+
+def test_topp_zero_keeps_argmax_single():
+    """apply_top_p at batch >= 16 with p=0 keeps exactly the row argmax."""
+    from qwen3_tts_tpu.nn.sampling import _BISECT_MIN_BATCH
+
+    rng = np.random.default_rng(2)
+    logits = rng.standard_normal((_BISECT_MIN_BATCH, 64)).astype(np.float32)
+    got = np.asarray(apply_top_p(jnp.asarray(logits), 1e-9))
+    for r in range(logits.shape[0]):
+        kept = np.flatnonzero(got[r] > -1e8)
+        np.testing.assert_array_equal(kept, [np.argmax(logits[r])])
+
+
 def test_greedy_chain_deterministic():
     cfg = SamplingConfig(do_sample=False)
     logits = jnp.asarray(np.random.randn(2, 30).astype(np.float32))
