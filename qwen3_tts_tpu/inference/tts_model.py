@@ -149,6 +149,9 @@ class Qwen3TTSModel:
         self.tts_model_size = config.tts_model_size
         self.tokenizer_type = config.tokenizer_type
         self.speaker_encoder_sample_rate = config.speaker_encoder.sample_rate
+        # opt-in KV-cache quantization for generation ("int8" -> jnp.int8);
+        # the serving batcher takes its own kv_cache_dtype argument
+        self.kv_cache_dtype = None
         self._gen_jit = {}
 
     # ------------------------------------------------------------------ load
@@ -320,12 +323,15 @@ class Qwen3TTSModel:
 
         seed = gen_kwargs.get("seed")
         key = jax.random.PRNGKey(np.random.randint(0, 2**31) if seed is None else seed)
+        kv_dtype = ({"int8": jnp.int8}.get(self.kv_cache_dtype, self.kv_cache_dtype)
+                    if isinstance(self.kv_cache_dtype, str) else self.kv_cache_dtype)
         result = generate_frames(
             self.talker_params, self.config.talker,
             prompt.inputs_embeds.astype(self.dtype), prompt.attention_mask,
             prompt.trailing_text_hidden.astype(self.dtype),
             prompt.tts_pad_embed.astype(self.dtype),
-            key, max_frames, sampling, sub_sampling)
+            key, max_frames, sampling, sub_sampling,
+            kv_cache_dtype=kv_dtype)
         return trim_codes(result)
 
     @property

@@ -241,6 +241,7 @@ def generate_frames(
     subtalker_sampling: SamplingConfig,
     collect_hidden: bool = False,
     use_flash: bool | None = None,
+    kv_cache_dtype=None,
 ) -> GenerateResult:
     """Full AR loop as one XLA program (prefill + while_loop of fused steps).
 
@@ -257,7 +258,8 @@ def generate_frames(
         use_flash = False
     cache_len = t + max_frames + 1
     cache = KVCache.create(spec.num_layers, b, cache_len, spec.num_kv_heads,
-                           spec.head_dim, dtype=inputs_embeds.dtype)
+                           spec.head_dim,
+                           dtype=kv_cache_dtype or inputs_embeds.dtype)
 
     suppress = make_suppress_mask(cfg.vocab_size, 1024, (cfg.codec_eos_token_id,))
 

@@ -1,7 +1,24 @@
 """Model-size presets matching the reference checkpoint family
-(README.md:68-79: 12Hz 0.6B / 1.7B talkers + 12Hz codec)."""
+(README.md:68-79: 12Hz 0.6B / 1.7B talkers + 12Hz codec).
+
+# =========================================================================
+# INVENTED — replace with the released config.json on weights-day.
+#
+# The speaker ids (_SPK), language ids (_LANG), and the exact 0.6B/1.7B
+# decoder dims below are GUESSES made without checkpoint access (zero
+# egress): real id maps live in the checkpoint's config.json (reference
+# configuration_qwen3_tts.py:393-402) and always win at load time
+# (TTSConfig.from_dict). These presets exist ONLY so benchmarks and
+# profiling tools have a production-geometry model to measure; every perf
+# number keyed to them (bench.py headline, kernel tile plans) must be
+# re-validated against the released config on weights-day — run_baseline's
+# report carries a weights_day_checklist row for exactly this.
+# =========================================================================
+"""
 
 from __future__ import annotations
+
+import warnings
 
 from ..config import (CodecConfig, CodecDecoderConfig, CodePredictorConfig,
                       MimiEncoderConfig, TalkerConfig, TTSConfig)
@@ -12,13 +29,31 @@ _CODE_PREDICTOR = dict(
     head_dim=128, num_code_groups=16,
 )
 
+# INVENTED ids (see module banner): config.json wins whenever a real
+# checkpoint is loaded; these only shape bench/profiling geometry.
 _SPK = {"vivian": 3000}
 _SPK_DIALECT = {"vivian": False}
 _LANG = {"english": 4206, "chinese": 4207}
 
+_warned = False
+
+
+def _warn_invented() -> None:
+    """One warning per process when a preset (not a real config.json)
+    provides model geometry / id maps."""
+    global _warned
+    if not _warned:
+        _warned = True
+        warnings.warn(
+            "qwen3_tts_tpu.models.presets: using INVENTED model dims / "
+            "speaker+language ids (no released checkpoint in this "
+            "environment). Load a real config.json for production use; "
+            "re-validate bench geometry on weights-day.", stacklevel=3)
+
 
 def talker_1p7b() -> TalkerConfig:
     """1.7B-class talker (Qwen3-1.7B decoder dims + codec heads)."""
+    _warn_invented()
     return TalkerConfig.from_dict(dict(
         vocab_size=5120, hidden_size=2048, intermediate_size=6144,
         num_hidden_layers=28, num_attention_heads=16, num_key_value_heads=8,
@@ -33,6 +68,7 @@ def talker_1p7b() -> TalkerConfig:
 
 def talker_0p6b() -> TalkerConfig:
     """0.6B-class talker (Qwen3-0.6B decoder dims)."""
+    _warn_invented()
     return TalkerConfig.from_dict(dict(
         vocab_size=5120, hidden_size=1024, intermediate_size=3072,
         num_hidden_layers=28, num_attention_heads=16, num_key_value_heads=8,

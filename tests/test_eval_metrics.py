@@ -164,7 +164,7 @@ def test_run_baseline_gate_tiny_checkpoint(tmp_path_factory):
         return "the quick brown fox"
 
     report = run_gate(d, model=m, max_new_tokens=6, asr=fake_asr,
-                      reference_parity=True)
+                      reference_parity=True, quant_ab=True)
     rows = report.rows
     assert rows["config1_custom_voice"]["status"] == "ok"
     assert rows["config1_custom_voice"]["n"] == 2
@@ -172,6 +172,14 @@ def test_run_baseline_gate_tiny_checkpoint(tmp_path_factory):
     # reference parity tries to load the torch reference from the checkpoint;
     # without the full reference deps it must degrade to a reasoned skip
     assert rows["reference_greedy_parity"]["status"] in ("ok", "skipped")
+    # quantization A/B: int8 and int8+int8kv rows run on the tiny checkpoint
+    # (greedy divergence step recorded per text; budget attached)
+    qab = rows["quantization_ab"]
+    for variant in ("int8", "int8+int8kv"):
+        assert qab[variant]["status"] == "ok", qab[variant]
+        assert len(qab[variant]["greedy_divergence_step"]) == 2
+        assert "budget" in qab[variant]
+    assert "replace_invented_presets" in rows["weights_day_checklist"]
     md = report.to_markdown()
     assert "config1_custom_voice" in md
     json_str = report.to_json()
