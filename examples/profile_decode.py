@@ -118,6 +118,39 @@ def main():
             print(f"  b={b:4d}  audio_s/s={rate:8.1f}  (wall {time.time()-t0:.0f}s)",
                   flush=True)
 
+    if which in ("phaseD", "all"):
+        # r3 verdict next-round #2: where do (step - stack - cp) ms go?
+        # Ablate the sampling chain inside the serving config (int8+int8kv).
+        import qwen3_tts_tpu.nn.sampling as sampling_mod
+        print("== phase D: sampling-chain ablation at the serving config ==",
+              flush=True)
+        for b in (64, 80):
+            fps, ms = bench.bench_talker(batch=b, quantize=True, kv_quant=True)
+            print(f"  b={b}  full step            : {ms*1e3:7.3f} ms", flush=True)
+
+            orig_proc = talker_mod.process_logits
+            orig_sample = talker_mod.sample_token
+            try:
+                # no processor chain (rep-pen/suppress/temp/top-k/top-p);
+                # still categorical-samples raw logits
+                talker_mod.process_logits = (
+                    lambda logits, *a, **k: logits.astype(jnp.float32))
+                fps, ms = bench.bench_talker(batch=b, quantize=True,
+                                             kv_quant=True)
+                print(f"  b={b}  - processor chain    : {ms*1e3:7.3f} ms",
+                      flush=True)
+                # greedy argmax instead of gumbel categorical
+                talker_mod.sample_token = (
+                    lambda key, logits, do_sample: jnp.argmax(
+                        logits, axis=-1).astype(jnp.int32))
+                fps, ms = bench.bench_talker(batch=b, quantize=True,
+                                             kv_quant=True)
+                print(f"  b={b}  - chain - categorical: {ms*1e3:7.3f} ms",
+                      flush=True)
+            finally:
+                talker_mod.process_logits = orig_proc
+                talker_mod.sample_token = orig_sample
+
 
 if __name__ == "__main__":
     main()

@@ -59,7 +59,8 @@ class ContinuousBatcher:
     def __init__(self, model, capacity: int = 8, cache_len: int = 1024,
                  burst_frames: int = 8,
                  sampling: Optional[SamplingConfig] = None,
-                 sub_sampling: Optional[SamplingConfig] = None):
+                 sub_sampling: Optional[SamplingConfig] = None,
+                 kv_cache_dtype=None, _start_thread: bool = True):
         self.model = model
         self.cfg = model.config.talker
         self.spec = talker_spec(self.cfg)
@@ -71,6 +72,12 @@ class ContinuousBatcher:
         self.suppress = make_suppress_mask(self.cfg.vocab_size, 1024,
                                            (self.cfg.codec_eos_token_id,))
         self.dtype = model.dtype
+        # opt-in int8 KV cache for the persistent decode batch: halves the
+        # dominant HBM term of the serving step (the BENCH headline config;
+        # quality budget gated by eval/run_baseline --quant-ab)
+        if isinstance(kv_cache_dtype, str):
+            kv_cache_dtype = {"int8": jnp.int8}[kv_cache_dtype]
+        self.kv_cache_dtype = kv_cache_dtype or self.dtype
         self.trailing_cap = 256  # max trailing-text length per request
 
         self._queue: "queue.Queue[_Request]" = queue.Queue()
@@ -81,8 +88,11 @@ class ContinuousBatcher:
         self._wake = threading.Event()
         self._stop = False
         self._reset_state()
+        # _start_thread=False: callers (tests, the multichip dryrun) drive
+        # _admit/_burst_fn/_harvest deterministically without the worker
         self._thread = threading.Thread(target=self._run, daemon=True)
-        self._thread.start()
+        if _start_thread:
+            self._thread.start()
 
     # ------------------------------------------------------------------ API
 
@@ -210,7 +220,8 @@ class ContinuousBatcher:
     def shutdown(self):
         self._stop = True
         self._wake.set()
-        self._thread.join(timeout=30)
+        if self._thread.is_alive():
+            self._thread.join(timeout=30)
 
     # ----------------------------------------------------------- device ops
 
@@ -218,7 +229,7 @@ class ContinuousBatcher:
         b = self.capacity
         cache = KVCache.create(self.spec.num_layers, b, self.cache_len,
                                self.spec.num_kv_heads, self.spec.head_dim,
-                               dtype=self.dtype)
+                               dtype=self.kv_cache_dtype)
         # a fresh batch starts at index 1 so joins always have >= 1 position
         self.state = TalkerState(
             cache=cache._replace(index=jnp.asarray(1, jnp.int32)),
@@ -290,14 +301,30 @@ class ContinuousBatcher:
 
             n_valid = jnp.sum(row_mask_w)
             start = idx - w  # guaranteed >= 0 by admission (index advance)
-            new_k = jax.lax.dynamic_update_slice(
-                state.cache.k, row_cache.k.astype(state.cache.k.dtype),
-                (0, slot, start, 0, 0))
-            new_v = jax.lax.dynamic_update_slice(
-                state.cache.v, row_cache.v.astype(state.cache.v.dtype),
-                (0, slot, start, 0, 0))
+            new_cache = state.cache
+            if state.cache.quantized:
+                # int8 persistent cache: the bf16 prefill rows are quantized
+                # per slot on install (values + per-slot scales), same scheme
+                # as the decode step's in-place writes (nn/cache.quantize_kv)
+                from ..nn.cache import quantize_kv
+
+                k_q, k_sc = quantize_kv(row_cache.k)
+                v_q, v_sc = quantize_kv(row_cache.v)
+                new_cache = new_cache._replace(
+                    k_scale=jax.lax.dynamic_update_slice(
+                        state.cache.k_scale, k_sc, (0, slot, start, 0)),
+                    v_scale=jax.lax.dynamic_update_slice(
+                        state.cache.v_scale, v_sc, (0, slot, start, 0)))
+            else:
+                k_q = row_cache.k.astype(state.cache.k.dtype)
+                v_q = row_cache.v.astype(state.cache.v.dtype)
+            new_cache = new_cache._replace(
+                k=jax.lax.dynamic_update_slice(
+                    state.cache.k, k_q, (0, slot, start, 0, 0)),
+                v=jax.lax.dynamic_update_slice(
+                    state.cache.v, v_q, (0, slot, start, 0, 0)))
             new_state = TalkerState(
-                cache=state.cache._replace(k=new_k, v=new_v),
+                cache=new_cache,
                 token0=state.token0.at[slot].set(token0),
                 past_hidden=state.past_hidden.at[slot].set(last_h),
                 seen=state.seen.at[slot].set(

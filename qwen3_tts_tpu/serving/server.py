@@ -83,16 +83,33 @@ class ServerMetrics:
 
 class TTSServer:
     def __init__(self, model, default_kwargs: Optional[Dict[str, Any]] = None,
-                 continuous_batching: bool = False, batch_capacity: int = 8):
+                 continuous_batching: bool = False, batch_capacity: int = 8,
+                 kv_cache_dtype=None, data_parallel: Optional[bool] = None):
         self.model = model
         self.default_kwargs = default_kwargs or {}
         self.metrics = ServerMetrics()
         self.worker_lock = threading.Lock()
         self.batcher = None
         if continuous_batching:
-            from .scheduler import ContinuousBatcher
+            import jax as _jax
 
-            self.batcher = ContinuousBatcher(model, capacity=batch_capacity)
+            n_dev = len(_jax.local_devices())
+            # data_parallel=None keeps the single batcher (opt in explicitly:
+            # virtual multi-device CPU meshes shouldn't replicate by accident)
+            if data_parallel and n_dev > 1:
+                # multi-chip: replicated per-chip batchers, least-loaded
+                # dispatch (serving/dp.py design note)
+                from .dp import DataParallelBatcher
+
+                self.batcher = DataParallelBatcher(
+                    model, capacity=batch_capacity,
+                    kv_cache_dtype=kv_cache_dtype)
+            else:
+                from .scheduler import ContinuousBatcher
+
+                self.batcher = ContinuousBatcher(
+                    model, capacity=batch_capacity,
+                    kv_cache_dtype=kv_cache_dtype)
 
     # ---------------------------------------------------------------- tasks
 
@@ -233,9 +250,11 @@ class TTSServer:
 def serve(model, host: str = "127.0.0.1", port: int = 8000,
           default_kwargs: Optional[dict] = None, ssl_certfile=None,
           ssl_keyfile=None, block: bool = True,
-          continuous_batching: bool = False, batch_capacity: int = 8):
+          continuous_batching: bool = False, batch_capacity: int = 8,
+          kv_cache_dtype=None, data_parallel: Optional[bool] = None):
     app = TTSServer(model, default_kwargs, continuous_batching=continuous_batching,
-                    batch_capacity=batch_capacity)
+                    batch_capacity=batch_capacity, kv_cache_dtype=kv_cache_dtype,
+                    data_parallel=data_parallel)
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):  # quiet

@@ -1,0 +1,70 @@
+"""Multi-chip DP serving tests: replicated batchers + int8-KV serving path
+(r3 verdict next-round #5; runs on the 8-device virtual CPU mesh)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from _checkpoint import StubProcessor, build_checkpoint
+
+
+@pytest.fixture(scope="module")
+def model(tmp_path_factory):
+    from qwen3_tts_tpu.inference.tts_model import Qwen3TTSModel
+
+    d = build_checkpoint(str(tmp_path_factory.mktemp("dp")), "custom_voice")
+    m = Qwen3TTSModel.from_pretrained(d, dtype=jnp.float32, load_processor=False)
+    m.processor = StubProcessor()
+    return m
+
+
+def test_dp_batcher_dispatches_across_replicas(model):
+    from qwen3_tts_tpu.serving.dp import DataParallelBatcher
+
+    devices = jax.devices()[:2]
+    dp = DataParallelBatcher(model, devices=devices, capacity=2,
+                             cache_len=128, burst_frames=3)
+    try:
+        assert dp.capacity == 4  # 2 replicas x 2 slots
+        futs = [dp.submit(f"text number {i}", speaker="vivian",
+                          language="english", max_frames=4) for i in range(4)]
+        for f in futs:
+            wav, sr = f.result(timeout=600)
+            assert sr == 24000 and wav.ndim == 1
+        # the dispatcher must have used more than one replica for 4
+        # concurrent requests against capacity-2 replicas
+        per_replica = [r._join_fns for r in dp.replicas]
+        assert sum(1 for j in per_replica if j) >= 2, \
+            "all requests landed on one replica"
+        # each replica's device-resident params live on its own chip
+        seen_devs = {next(iter(r.model.talker_params["codec_embedding"]
+                               .devices())) for r in dp.replicas}
+        assert len(seen_devs) == 2
+    finally:
+        dp.shutdown()
+
+
+def test_batcher_int8_kv_serving(model):
+    """The bench headline config (int8 KV in the persistent serving cache)
+    is reachable through the deployable scheduler (r3 advisor low #4):
+    prefill rows are quantized on install and decode runs over the
+    quantized cache end-to-end."""
+    from qwen3_tts_tpu.serving.scheduler import ContinuousBatcher
+
+    b = ContinuousBatcher(model, capacity=2, cache_len=128, burst_frames=3,
+                          kv_cache_dtype="int8")
+    try:
+        assert b.state.cache.quantized
+        futs = [b.submit(f"quantized cache {i}", speaker="vivian",
+                         language="english", max_frames=5) for i in range(2)]
+        for f in futs:
+            wav, sr = f.result(timeout=600)
+            assert sr == 24000 and wav.ndim == 1 and np.isfinite(wav).all()
+    finally:
+        b.shutdown()
+
+
+if __name__ == "__main__":
+    import sys
+    sys.exit(pytest.main([__file__, "-q", "-x"]))
