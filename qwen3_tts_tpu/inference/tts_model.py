@@ -207,7 +207,13 @@ class Qwen3TTSModel:
 
         if fuse:
             talker_params = jax.jit(fuse_talker_params)(talker_params)
-        if quantization in ("int8", "int8-kernel"):
+        if quantization == "int4":
+            # group-wise int4 (bf16 scales): quarters the decode weight read;
+            # quality budget gated by eval/run_baseline --quant-ab
+            from ..models.talker import quantize_talker_params_int4
+
+            talker_params = jax.jit(quantize_talker_params_int4)(talker_params)
+        elif quantization in ("int8", "int8-kernel"):
             # weight-only int8: ~1.5x faster decode at b=1 on v5e
             talker_params = jax.jit(quantize_talker_params)(talker_params)
             if quantization == "int8-kernel":

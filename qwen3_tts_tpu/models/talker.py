@@ -24,12 +24,19 @@ from ..nn.cache import KVCache
 from ..nn.layers import embed, linear, resize_mlp
 from ..nn.rope import make_inv_freq, rope_cos_sin
 from ..nn.sampling import SamplingConfig, process_logits, sample_token
-from ..nn.transformer import (DecoderSpec, cache_attention_mask, fuse_stack_params,
-                              init_stack_params, quantize_stack_params, stack_forward)
+from ..nn.transformer import (DecoderSpec, _dequant4, cache_attention_mask,
+                              fuse_stack_params, init_stack_params,
+                              quantize_stack_params, quantize_stack_params_int4,
+                              stack_forward)
 
 
 def _head(params: dict, name: str, x: jax.Array, index=None) -> jax.Array:
-    """lm-head matmul supporting int8 weight-only quantization."""
+    """lm-head matmul supporting int8 / group-int4 weight-only quantization."""
+    if name + "_q4" in params:
+        w, s = params[name + "_q4"], params[name + "_s4"]
+        if index is not None:
+            w, s = w[index], s[index]
+        return linear(x, _dequant4(w, s).astype(x.dtype))
     if name + "_q" in params:
         w = params[name + "_q"]
         s = params[name + "_s"]
@@ -63,6 +70,31 @@ def quantize_talker_params(params: dict) -> dict:
         scale = jnp.maximum(scale, 1e-8)
         src[holder + "_q"] = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
         src[holder + "_s"] = scale.astype(jnp.bfloat16)
+        del src[holder]
+    p["code_predictor"] = cp
+    return p
+
+
+def quantize_talker_params_int4(params: dict, group: int = 128) -> dict:
+    """Group-wise int4 for the bandwidth-heavy matmuls (layer stacks +
+    heads); embeddings/norms stay high precision. Quarters the b=1 weight
+    read (r3 verdict next-round #3); opt in via quantization='int4'."""
+    p = dict(params)
+    p["layers"] = quantize_stack_params_int4(params["layers"], group)
+    cp = dict(params["code_predictor"])
+    cp["layers"] = quantize_stack_params_int4(cp["layers"], group)
+    for src, holder in ((p, "codec_head"), (cp, "lm_heads")):
+        w = jnp.asarray(src[holder], jnp.float32)
+        cin, cout = w.shape[-2], w.shape[-1]
+        lead = w.shape[:-2]
+        g = group if cin % group == 0 else cin
+        wg = w.reshape(*lead, cin // g, g, cout)
+        scale = jnp.maximum(jnp.max(jnp.abs(wg), axis=-2, keepdims=True) / 7.0,
+                            1e-8)
+        scale = scale.astype(jnp.bfloat16).astype(jnp.float32)
+        q = jnp.clip(jnp.round(wg / scale), -7, 7)
+        src[holder + "_q4"] = q.reshape(*lead, cin, cout).astype(jnp.int4)
+        src[holder + "_s4"] = jnp.squeeze(scale, axis=-2).astype(jnp.bfloat16)
         del src[holder]
     p["code_predictor"] = cp
     return p

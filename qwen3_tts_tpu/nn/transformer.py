@@ -95,12 +95,27 @@ def init_stack_params(key: jax.Array, spec: DecoderSpec, dtype=jnp.float32) -> d
     return p
 
 
+def _dequant4(q: jax.Array, s: jax.Array) -> jax.Array:
+    """Group-wise int4 dequant: q (..., in, out) int4, s (..., in//G, out)
+    bf16 -> (..., in, out) in s.dtype. The reshape+multiply is elementwise
+    over the operand, so XLA fuses it into the consuming matmul's operand
+    read — the weight crosses HBM as int4, never as a materialized bf16."""
+    n_groups = s.shape[-2]
+    g = q.shape[-2] // n_groups
+    qf = q.astype(s.dtype)
+    qf = qf.reshape(*q.shape[:-2], n_groups, g, q.shape[-1])
+    return (qf * s[..., :, None, :]).reshape(q.shape)
+
+
 def _proj(lw: dict, name: str, x: jax.Array, bias_name: str | None = None) -> jax.Array:
-    """Projection through either a bf16 weight or an int8 weight-only
-    quantized pair (name_q int8 (in,out) + name_s per-out-channel scale).
-    XLA fuses the dequant into the matmul operand read, halving HBM traffic
-    for the bandwidth-bound decode step."""
+    """Projection through a bf16 weight, an int8 weight-only quantized pair
+    (name_q int8 (in,out) + name_s per-out-channel scale), or a group-wise
+    int4 pair (name_q4 + name_s4 (in//G,out) scales). XLA fuses the dequant
+    into the matmul operand read, halving (int8) / quartering (int4) the
+    HBM weight traffic of the bandwidth-bound decode step."""
     b = lw.get(bias_name) if bias_name else None
+    if name + "_q4" in lw:
+        return linear(x, _dequant4(lw[name + "_q4"], lw[name + "_s4"]).astype(x.dtype), b)
     if name + "_q" in lw:
         w = lw[name + "_q"].astype(x.dtype) * lw[name + "_s"]
         return linear(x, w, b)
@@ -124,10 +139,11 @@ def fuse_stack_params(layers: dict) -> dict:
     return out
 
 
-def quantize_stack_params(layers: dict, names=("q_proj", "k_proj", "v_proj",
-                                               "o_proj", "gate_proj", "up_proj",
-                                               "down_proj", "fc1", "fc2",
-                                               "qkv_proj", "gate_up_proj")) -> dict:
+_QUANT_NAMES = ("q_proj", "k_proj", "v_proj", "o_proj", "gate_proj", "up_proj",
+                "down_proj", "fc1", "fc2", "qkv_proj", "gate_up_proj")
+
+
+def quantize_stack_params(layers: dict, names=_QUANT_NAMES) -> dict:
     """Weight-only int8 per-output-channel quantization of a layer stack.
     weights (L, in, out) -> int8 + (L, 1, out) scales."""
     out = dict(layers)
@@ -139,6 +155,32 @@ def quantize_stack_params(layers: dict, names=("q_proj", "k_proj", "v_proj",
         scale = jnp.maximum(scale, 1e-8)
         out[name + "_q"] = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
         out[name + "_s"] = scale.astype(jnp.bfloat16)
+        del out[name]
+    return out
+
+
+def quantize_stack_params_int4(layers: dict, group: int = 128,
+                               names=_QUANT_NAMES) -> dict:
+    """Weight-only GROUP-WISE int4 quantization (r3 verdict next-round #3):
+    weights (L, in, out) -> int4 values + (L, in//group, out) bf16 scales
+    (max-abs per contraction group per output channel). Quarters the b=1
+    weight read vs bf16; logit-delta bound tested in tests/test_int4.py."""
+    out = dict(layers)
+    for name in names:
+        if name not in layers:
+            continue
+        w = jnp.asarray(layers[name], jnp.float32)
+        l, cin, cout = w.shape
+        g = group if cin % group == 0 else cin
+        wg = w.reshape(l, cin // g, g, cout)
+        scale = jnp.max(jnp.abs(wg), axis=2, keepdims=True) / 7.0
+        scale = jnp.maximum(scale, 1e-8)
+        # quantize against the STORED (bf16-rounded) scale so the dequant
+        # roundtrip error is bounded by scale/2 exactly
+        scale = scale.astype(jnp.bfloat16).astype(jnp.float32)
+        q = jnp.clip(jnp.round(wg / scale), -7, 7)
+        out[name + "_q4"] = q.reshape(l, cin, cout).astype(jnp.int4)
+        out[name + "_s4"] = scale[:, :, 0, :].astype(jnp.bfloat16)
         del out[name]
     return out
 
@@ -177,7 +219,7 @@ def _layer(spec: DecoderSpec, lw: dict, x: jax.Array, cos: jax.Array, sin: jax.A
 
     qd = spec.num_heads * spec.head_dim
     kd = spec.num_kv_heads * spec.head_dim
-    if "qkv_proj" in lw or "qkv_proj_q" in lw:
+    if "qkv_proj" in lw or "qkv_proj_q" in lw or "qkv_proj_q4" in lw:
         qkv = _proj(lw, "qkv_proj", h, "qkv_bias")
         q, k, v = qkv[..., :qd], qkv[..., qd:qd + kd], qkv[..., qd + kd:]
     else:
@@ -245,7 +287,7 @@ def _layer(spec: DecoderSpec, lw: dict, x: jax.Array, cos: jax.Array, sin: jax.A
 
     h = norm(x, "post_attention_layernorm")
     if spec.mlp_type == "swiglu":
-        if "gate_up_proj" in lw or "gate_up_proj_q" in lw:
+        if "gate_up_proj" in lw or "gate_up_proj_q" in lw or "gate_up_proj_q4" in lw:
             gu = _proj(lw, "gate_up_proj", h)
             g, u = jnp.split(gu, 2, axis=-1)
             g = jax.nn.silu(g)
