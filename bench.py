@@ -122,18 +122,22 @@ def _params_like(init_fn, *args, dtype):
 
 
 def bench_talker(batch: int = 1, cache_len: int = 512, steps: int = 64,
-                 quantize: bool = False, packed: bool = False,
+                 quantize=False, packed: bool = False,
                  step_kernel: bool = True, kv_quant: bool = False):
+    """quantize: False (bf16) | True/'int8' | 'int4' (group-wise, r4)."""
     cfg = talker_1p7b()
     spec = talker_spec(cfg)
     dtype = jnp.bfloat16
     from qwen3_tts_tpu.models.talker import (fuse_talker_params, init_talker_params,
                                              pack_talker_params,
-                                             quantize_talker_params)
+                                             quantize_talker_params,
+                                             quantize_talker_params_int4)
 
     params = _params_like(init_talker_params, cfg, dtype=dtype)
     params = jax.jit(fuse_talker_params, donate_argnums=0)(params)
-    if quantize:
+    if quantize == "int4":
+        params = jax.jit(quantize_talker_params_int4, donate_argnums=0)(params)
+    elif quantize:
         params = jax.jit(quantize_talker_params, donate_argnums=0)(params)
     if packed:  # fused Pallas sub-talker kernels (int8 only)
         params = pack_talker_params(params)

@@ -118,6 +118,17 @@ def main():
             print(f"  b={b:4d}  audio_s/s={rate:8.1f}  (wall {time.time()-t0:.0f}s)",
                   flush=True)
 
+    if which in ("phaseE", "all"):
+        # r3 verdict next-round #3: int4 weights at the latency shapes
+        print("== phase E: int4 weight quantization ==", flush=True)
+        for b in (1, 80):
+            try:
+                fps, ms = bench.bench_talker(batch=b, quantize="int4")
+                print(f"  b={b:3d}  int4 step: {ms*1e3:7.3f} ms  "
+                      f"frames/s={fps:8.1f}", flush=True)
+            except Exception as e:
+                print(f"  b={b}: int4 failed {e!r}", flush=True)
+
     if which in ("phaseD", "all"):
         # r3 verdict next-round #2: where do (step - stack - cp) ms go?
         # Ablate the sampling chain inside the serving config (int8+int8kv).

@@ -24,7 +24,7 @@ from ..nn.cache import KVCache
 from ..nn.layers import embed, linear, resize_mlp
 from ..nn.rope import make_inv_freq, rope_cos_sin
 from ..nn.sampling import SamplingConfig, process_logits, sample_token
-from ..nn.transformer import (DecoderSpec, _dequant4, cache_attention_mask,
+from ..nn.transformer import (DecoderSpec, _dequant4, _pack4, cache_attention_mask,
                               fuse_stack_params, init_stack_params,
                               quantize_stack_params, quantize_stack_params_int4,
                               stack_forward)
@@ -93,7 +93,7 @@ def quantize_talker_params_int4(params: dict, group: int = 128) -> dict:
                             1e-8)
         scale = scale.astype(jnp.bfloat16).astype(jnp.float32)
         q = jnp.clip(jnp.round(wg / scale), -7, 7)
-        src[holder + "_q4"] = q.reshape(*lead, cin, cout).astype(jnp.int4)
+        src[holder + "_q4"] = _pack4(q.reshape(*lead, cin, cout).astype(jnp.int8))
         src[holder + "_s4"] = jnp.squeeze(scale, axis=-2).astype(jnp.bfloat16)
         del src[holder]
     p["code_predictor"] = cp

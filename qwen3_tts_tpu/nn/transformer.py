@@ -96,15 +96,34 @@ def init_stack_params(key: jax.Array, spec: DecoderSpec, dtype=jnp.float32) -> d
 
 
 def _dequant4(q: jax.Array, s: jax.Array) -> jax.Array:
-    """Group-wise int4 dequant: q (..., in, out) int4, s (..., in//G, out)
-    bf16 -> (..., in, out) in s.dtype. The reshape+multiply is elementwise
-    over the operand, so XLA fuses it into the consuming matmul's operand
-    read — the weight crosses HBM as int4, never as a materialized bf16."""
+    """Group-wise int4 dequant -> (..., in, out) in s.dtype.
+
+    q is the PACKED container: uint8 (..., in//2, out) holding two
+    consecutive contraction rows as biased nibbles (row 2i -> low nibble,
+    row 2i+1 -> high nibble, value+8 in [1, 15]). A packed container is
+    used instead of native jnp.int4 because this runtime's S4 jit-argument
+    path is broken (re-entrant jit during tiled-layout canonicalization,
+    r4 notes). The unpack + reshape + multiply chain is elementwise over
+    the matmul operand, so XLA fuses it into the operand read — the weight
+    crosses HBM at 4 bits/value either way."""
+    lo = (q & jnp.uint8(0x0F)).astype(jnp.int8) - 8   # (..., in/2, out)
+    hi = (q >> jnp.uint8(4)).astype(jnp.int8) - 8
+    full = jnp.stack([lo, hi], axis=-2)               # (..., in/2, 2, out)
+    cin = q.shape[-2] * 2
+    full = full.reshape(*q.shape[:-2], cin, q.shape[-1])
     n_groups = s.shape[-2]
-    g = q.shape[-2] // n_groups
-    qf = q.astype(s.dtype)
+    g = cin // n_groups
+    qf = full.astype(s.dtype)
     qf = qf.reshape(*q.shape[:-2], n_groups, g, q.shape[-1])
-    return (qf * s[..., :, None, :]).reshape(q.shape)
+    return (qf * s[..., :, None, :]).reshape(*q.shape[:-2], cin, q.shape[-1])
+
+
+def _pack4(q: jax.Array) -> jax.Array:
+    """(..., in, out) int values in [-7, 7] -> packed uint8 (..., in//2, out)."""
+    b = (q + 8).astype(jnp.uint8)
+    lo = b[..., 0::2, :]
+    hi = b[..., 1::2, :]
+    return lo | (hi << jnp.uint8(4))
 
 
 def _proj(lw: dict, name: str, x: jax.Array, bias_name: str | None = None) -> jax.Array:
@@ -162,9 +181,10 @@ def quantize_stack_params(layers: dict, names=_QUANT_NAMES) -> dict:
 def quantize_stack_params_int4(layers: dict, group: int = 128,
                                names=_QUANT_NAMES) -> dict:
     """Weight-only GROUP-WISE int4 quantization (r3 verdict next-round #3):
-    weights (L, in, out) -> int4 values + (L, in//group, out) bf16 scales
-    (max-abs per contraction group per output channel). Quarters the b=1
-    weight read vs bf16; logit-delta bound tested in tests/test_int4.py."""
+    weights (L, in, out) -> nibble-packed uint8 (L, in//2, out) values +
+    (L, in//group, out) bf16 scales (max-abs per contraction group per
+    output channel). Quarters the b=1 weight read vs bf16; logit-delta
+    bound tested in tests/test_int4.py."""
     out = dict(layers)
     for name in names:
         if name not in layers:
@@ -179,7 +199,7 @@ def quantize_stack_params_int4(layers: dict, group: int = 128,
         # roundtrip error is bounded by scale/2 exactly
         scale = scale.astype(jnp.bfloat16).astype(jnp.float32)
         q = jnp.clip(jnp.round(wg / scale), -7, 7)
-        out[name + "_q4"] = q.reshape(l, cin, cout).astype(jnp.int4)
+        out[name + "_q4"] = _pack4(q.reshape(l, cin, cout).astype(jnp.int8))
         out[name + "_s4"] = scale[:, :, 0, :].astype(jnp.bfloat16)
         del out[name]
     return out

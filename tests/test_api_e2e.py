@@ -174,7 +174,7 @@ def test_int8_kernel_quantization_option(tmp_path_factory):
                                       quantization="int8-kernel")
     with pytest.raises(ValueError, match="unknown quantization"):
         Qwen3TTSModel.from_pretrained(d, load_processor=False,
-                                      quantization="int4")
+                                      quantization="int2")  # int4 exists now
 
 
 def test_hub_id_resolution_error(monkeypatch):

@@ -19,7 +19,10 @@ def test_int4_roundtrip_error_bound():
     w = rng.standard_normal((2, 256, 64)).astype(np.float32) * 0.05
     layers = {"q_proj": jnp.asarray(w)}
     q = quantize_stack_params_int4(layers, group=128)
-    assert q["q_proj_q4"].dtype == jnp.int4
+    # nibble-packed container: two contraction rows per uint8 byte (this
+    # runtime's native-S4 jit-argument path is broken; see nn/transformer)
+    assert q["q_proj_q4"].dtype == jnp.uint8
+    assert q["q_proj_q4"].shape == (2, 128, 64)
     assert q["q_proj_s4"].shape == (2, 2, 64)
     dq = np.asarray(_dequant4(q["q_proj_q4"], q["q_proj_s4"]), np.float32)
     scale = np.asarray(q["q_proj_s4"], np.float32)
