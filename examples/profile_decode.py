@@ -64,7 +64,8 @@ def _cp_only(batch: int, packed: bool, steps: int = 64):
     return dt / steps
 
 
-def _stack_only(batch: int, cache_len: int, steps: int = 64):
+def _stack_only(batch: int, cache_len: int, steps: int = 64,
+                kv_quant: bool = False):
     """Full decode step with the sub-talker stubbed out: talker stack +
     codec-head + sampling + embedding assembly only."""
     orig = talker_mod.code_predictor_generate
@@ -77,7 +78,7 @@ def _stack_only(batch: int, cache_len: int, steps: int = 64):
     talker_mod.code_predictor_generate = stub
     try:
         fps, ms = bench.bench_talker(batch=batch, cache_len=cache_len,
-                                     quantize=True)
+                                     quantize=True, kv_quant=kv_quant)
     finally:
         talker_mod.code_predictor_generate = orig
     return ms
@@ -109,6 +110,21 @@ def main():
                     print(f"  cp-loop-only ({tag}): {dt*1e3:7.3f} ms", flush=True)
                 except Exception as e:
                     print(f"  cp-loop-only ({tag}) failed: {e!r}", flush=True)
+
+    if which in ("phaseB80",):
+        # r4: decomposition at the b=80 serving config (int8 + int8 KV) —
+        # phase D showed sampling is only ~0.4 ms, so the remaining
+        # (step - stack) must be the cp loop + embedding assembly
+        b = 80
+        print(f"== phase B80: decomposition at b={b} int8+int8kv ==", flush=True)
+        ms = _stack_only(b, cache_len, kv_quant=True)
+        print(f"  stack-only step (int8+int8kv): {ms*1e3:7.3f} ms", flush=True)
+        for packed, tag in ((False, "xla"), (True, "megakernel")):
+            try:
+                dt = _cp_only(b, packed)
+                print(f"  cp-loop-only ({tag}): {dt*1e3:7.3f} ms", flush=True)
+            except Exception as e:
+                print(f"  cp-loop-only ({tag}) failed: {e!r}", flush=True)
 
     if which in ("phaseC", "all"):
         print("== phase C: vocoder batch sweep (f=300) ==", flush=True)

@@ -207,12 +207,19 @@ class Qwen3TTSModel:
 
         if fuse:
             talker_params = jax.jit(fuse_talker_params)(talker_params)
-        if quantization == "int4":
-            # group-wise int4 (bf16 scales): quarters the decode weight read;
-            # quality budget gated by eval/run_baseline --quant-ab
+        if quantization in ("int4", "int4-kernel"):
+            # group-wise int4 talker (bf16 scales; cp stays int8): quarters
+            # the decode talker weight read; quality budget gated by
+            # eval/run_baseline --quant-ab. "int4-kernel" additionally packs
+            # the sub-talker kernels and enables the fused int4 step kernel
+            # (ops/talker_step_q4.py) for small-batch decode.
             from ..models.talker import quantize_talker_params_int4
 
             talker_params = jax.jit(quantize_talker_params_int4)(talker_params)
+            if quantization == "int4-kernel":
+                if not fuse:
+                    raise ValueError("int4-kernel requires fuse=True")
+                talker_params = pack_talker_params(talker_params)
         elif quantization in ("int8", "int8-kernel"):
             # weight-only int8: ~1.5x faster decode at b=1 on v5e
             talker_params = jax.jit(quantize_talker_params)(talker_params)

@@ -76,18 +76,34 @@ def quantize_talker_params(params: dict) -> dict:
 
 
 def quantize_talker_params_int4(params: dict, group: int = 128) -> dict:
-    """Group-wise int4 for the bandwidth-heavy matmuls (layer stacks +
-    heads); embeddings/norms stay high precision. Quarters the b=1 weight
-    read (r3 verdict next-round #3); opt in via quantization='int4'."""
+    """Group-wise int4 for the TALKER's bandwidth-heavy matmuls (layer stack
+    + codec head); embeddings/norms stay high precision. Quarters the b=1
+    talker weight read (r3 verdict next-round #3); opt in via
+    quantization='int4'.
+
+    The code predictor stays int8 (r4): its whole int8 weight set is ~78 MB
+    — int4 there saves ~0.1 ms/frame at best, costs quality on the 15
+    residual codebooks, and would break the packed sub-talker kernel layout
+    (`pack_talker_params`), which only consumes int8 containers."""
     p = dict(params)
     p["layers"] = quantize_stack_params_int4(params["layers"], group)
     cp = dict(params["code_predictor"])
-    cp["layers"] = quantize_stack_params_int4(cp["layers"], group)
-    for src, holder in ((p, "codec_head"), (cp, "lm_heads")):
+    cp["layers"] = quantize_stack_params(cp["layers"])
+    for src, holder, int4 in ((p, "codec_head", True), (cp, "lm_heads", False)):
         w = jnp.asarray(src[holder], jnp.float32)
         cin, cout = w.shape[-2], w.shape[-1]
         lead = w.shape[:-2]
+        if not int4:  # per-out-channel int8 (same as quantize_talker_params)
+            scale = jnp.maximum(
+                jnp.max(jnp.abs(w), axis=-2, keepdims=True) / 127.0, 1e-8)
+            src[holder + "_q"] = jnp.clip(jnp.round(w / scale),
+                                          -127, 127).astype(jnp.int8)
+            src[holder + "_s"] = scale.astype(jnp.bfloat16)
+            del src[holder]
+            continue
         g = group if cin % group == 0 else cin
+        if (cin // g) > 1 and (cin // g) % 2:
+            g = cin  # half-split packing needs an even group count (or 1)
         wg = w.reshape(*lead, cin // g, g, cout)
         scale = jnp.maximum(jnp.max(jnp.abs(wg), axis=-2, keepdims=True) / 7.0,
                             1e-8)
@@ -175,11 +191,18 @@ def pack_talker_params(params: dict) -> dict:
 
     p = dict(params)
     cp = dict(params["code_predictor"])
-    cp["packed"] = pack_predictor_weights(cp["layers"], cp["layers"]["norm"])
-    if "lm_heads_q" in cp:
-        # single-dispatch frame megakernel (used when batch <= MAX_B=64,
-        # covering the b=32 serving config; micro-step kernel fallback else)
-        cp["frame_packed"] = pack_frame_weights(cp, cp["lm_heads_q"].shape[2])
+    try:
+        cp["packed"] = pack_predictor_weights(cp["layers"], cp["layers"]["norm"])
+        if "lm_heads_q" in cp:
+            # single-dispatch frame megakernel (batch > MAX_B=64 runs in
+            # equal chunks; micro-step kernel fallback otherwise)
+            cp["frame_packed"] = pack_frame_weights(cp,
+                                                    cp["lm_heads_q"].shape[2])
+    except ValueError:
+        # non-production cp geometry (tiny test checkpoints): the kernels
+        # are perf opt-ins — fall back to the XLA cp path silently
+        cp.pop("packed", None)
+        cp.pop("frame_packed", None)
     p["code_predictor"] = cp
     # enable the fused talker-step kernel (ops/talker_step.py) when the
     # talker-stack geometry is tileable; it consumes the fused+int8 layout
@@ -193,6 +216,14 @@ def pack_talker_params(params: dict) -> dict:
             # zero-leaf marker: key presence gates the kernel statically
             # under jit (a bool leaf would become a tracer)
             p["talker_kernel"] = ()
+    # int4 edition (ops/talker_step_q4.py): consumes the half-split packed
+    # containers in place; logical dims are 2x the packed row counts
+    if "qkv_proj_q4" in ly and "codec_head_q4" in p:
+        dims = (ly["qkv_proj_q4"].shape[1] * 2, ly["qkv_proj_q4"].shape[2],
+                ly["o_proj_q4"].shape[1] * 2, ly["gate_up_proj_q4"].shape[2],
+                ly["down_proj_q4"].shape[1] * 2, p["codec_head_q4"].shape[1])
+        if all(dim % 1024 == 0 for dim in dims):
+            p["talker_kernel_q4"] = ()
     return p
 
 
@@ -243,16 +274,37 @@ def _code_predictor_generate_frame(
     else:
         gumbel = jnp.zeros((N_STEPS, b, vp), jnp.float32)
 
-    codes, esum = fused_subtalker_frame(
-        p["layers"], fp,
-        past_hidden.astype(jnp.bfloat16), first_embed.astype(jnp.bfloat16),
-        cos, sin, gumbel, num_layers=spec.num_layers,
-        eps=spec.rms_norm_eps, vocab=vocab,
-        top_k=0 if batched else sampling.top_k,
-        top_p=1.0 if batched else sampling.top_p,
-        temperature=1.0 if batched else sampling.temperature,
-        do_sample=sampling.do_sample,
-        row_sampling=sampling if batched else None, interpret=interpret)
+    # batch > MAX_B runs the frame in equal VMEM-sized chunks (r4: phase-B80
+    # measured the XLA cp loop at ~4.0 ms INSIDE the b=80 serving program —
+    # the interleaved schedule re-reads the ~60 MB cp stack every micro-step
+    # — vs ~0.5 ms isolated; the frame kernel streams the weights once per
+    # chunk, so 2 x 40-row chunks cost ~2 weight passes, not 16). Gumbel is
+    # drawn for the FULL batch first so sampled tokens stay draw-for-draw
+    # identical to the unchunked/XLA paths.
+    from ..ops.subtalker_frame import MAX_B
+
+    n_chunks = max(1, -(-b // MAX_B))
+    chunk = b // n_chunks
+    outs = []
+    for c in range(n_chunks):
+        sl = slice(c * chunk, (c + 1) * chunk)
+        row_s = type(sampling)(*(f[sl] for f in sampling)) if batched else None
+        outs.append(fused_subtalker_frame(
+            p["layers"], fp,
+            past_hidden[sl].astype(jnp.bfloat16),
+            first_embed[sl].astype(jnp.bfloat16),
+            cos, sin, gumbel[:, sl], num_layers=spec.num_layers,
+            eps=spec.rms_norm_eps, vocab=vocab,
+            top_k=0 if batched else sampling.top_k,
+            top_p=1.0 if batched else sampling.top_p,
+            temperature=1.0 if batched else sampling.temperature,
+            do_sample=sampling.do_sample,
+            row_sampling=row_s, interpret=interpret))
+    if n_chunks == 1:
+        codes, esum = outs[0]
+    else:
+        codes = jnp.concatenate([o[0] for o in outs], axis=0)
+        esum = jnp.concatenate([o[1] for o in outs], axis=0)
     return codes, esum.astype(past_hidden.dtype)
 
 
@@ -272,8 +324,10 @@ def _code_predictor_generate_fused(
     from ..ops.subtalker_frame import MAX_B
     from ..ops.subtalker_step import CACHE_S, fused_subtalker_microstep
 
+    b_total = past_hidden.shape[0]
+    n_chunks = max(1, -(-b_total // MAX_B))
     if ("frame_packed" in params["code_predictor"]
-            and past_hidden.shape[0] <= MAX_B):
+            and (b_total <= MAX_B or b_total % n_chunks == 0)):
         return _code_predictor_generate_frame(
             params, cfg, past_hidden, first_embed, key, sampling)
 
@@ -510,7 +564,36 @@ def talker_decode_step(
         and spec.sliding_window is None
         and not state.cache.quantized  # kernel streams a bf16 cache
         and b <= 64 and state.cache.max_len <= 4096)
-    if use_step_kernel:
+    # int4-weight edition (r4): latency-oriented — the weight stream halves
+    # (0.85 GB/step vs int8's 1.7 GB against a ~350 GB/s achievable HBM
+    # floor) and the kernel accepts the int8 KV cache with scales folded
+    # into the attention dots (r3 verdict next-round #3 + #6)
+    use_q4_kernel = (
+        "talker_kernel_q4" in params
+        and spec.sliding_window is None
+        and spec.num_layers % 2 == 0
+        and b <= 8 and state.cache.max_len <= 4096)
+    if use_q4_kernel:
+        from ..ops.talker_step_q4 import fused_talker_step_q4
+
+        res = fused_talker_step_q4(
+            params["layers"], params["layers"]["norm"],
+            params["codec_head_q4"], params["codec_head_s4"],
+            x[:, 0].astype(jnp.bfloat16), cos[:, 0], sin[:, 0],
+            pad_mask_full, state.cache.index,
+            spec.num_layers, spec.rms_norm_eps,
+            state.cache.k, state.cache.v,
+            state.cache.k_scale, state.cache.v_scale,
+            interpret=jax.default_backend() == "cpu")
+        if state.cache.quantized:
+            last_h, logits, kc, vc, ks, vs = res
+            cache = KVCache(k=kc, v=vc, index=state.cache.index + 1,
+                            k_scale=ks, v_scale=vs)
+        else:
+            last_h, logits, kc, vc = res
+            cache = KVCache(k=kc, v=vc, index=state.cache.index + 1)
+        last_h = last_h.astype(x.dtype)
+    elif use_step_kernel:
         # layer-pair fori_loop edition for even L (both production talkers):
         # ~14x less Mosaic IR, minutes instead of tens of minutes to cold
         # compile (NOTES.md round-2 finding); unrolled kernel otherwise

@@ -98,31 +98,48 @@ def init_stack_params(key: jax.Array, spec: DecoderSpec, dtype=jnp.float32) -> d
 def _dequant4(q: jax.Array, s: jax.Array) -> jax.Array:
     """Group-wise int4 dequant -> (..., in, out) in s.dtype.
 
-    q is the PACKED container: uint8 (..., in//2, out) holding two
-    consecutive contraction rows as biased nibbles (row 2i -> low nibble,
-    row 2i+1 -> high nibble, value+8 in [1, 15]). A packed container is
-    used instead of native jnp.int4 because this runtime's S4 jit-argument
-    path is broken (re-entrant jit during tiled-layout canonicalization,
-    r4 notes). The unpack + reshape + multiply chain is elementwise over
-    the matmul operand, so XLA fuses it into the operand read — the weight
-    crosses HBM at 4 bits/value either way."""
-    lo = (q & jnp.uint8(0x0F)).astype(jnp.int8) - 8   # (..., in/2, out)
-    hi = (q >> jnp.uint8(4)).astype(jnp.int8) - 8
-    full = jnp.stack([lo, hi], axis=-2)               # (..., in/2, 2, out)
-    cin = q.shape[-2] * 2
-    full = full.reshape(*q.shape[:-2], cin, q.shape[-1])
+    q is the PACKED container: uint8 (..., in//2, out) holding the matrix
+    HALF-SPLIT along the contraction dim — packed row i stores W[i] in the
+    low nibble and W[in//2 + i] in the high nibble (biased, value+8 in
+    [1, 15]). Half-split beats adjacent-row packing for both consumers:
+      - XLA: the unpack is two elementwise shift/mask chains + a concat of
+        contiguous halves (no sublane interleave that defeats operand
+        fusion — the adjacent-row layout's stack+reshape measured 30.9 ms
+        for the b=1 decode step vs 5.5 ms int8, r4 notes);
+      - the fused Pallas step kernel streams packed tiles and consumes the
+        two halves as two matmul operands directly (ops/talker_step_q4.py).
+    A packed uint8 container is used instead of native jnp.int4 because
+    this runtime's S4 jit-argument path is broken (re-entrant jit during
+    tiled-layout canonicalization, r4 notes). Group scales (s (..., G, out))
+    must align with the halves: G == 1 or even (quantize_stack_params_int4
+    enforces this by widening the group when cin % (2*group) != 0)."""
+    half = q.shape[-2]
+    lead = q.shape[:-2]
+    cout = q.shape[-1]
+    lo = (q & jnp.uint8(0x0F)).astype(jnp.int8) - 8   # W[:half]
+    hi = (q >> jnp.uint8(4)).astype(jnp.int8) - 8     # W[half:]
     n_groups = s.shape[-2]
-    g = cin // n_groups
-    qf = full.astype(s.dtype)
-    qf = qf.reshape(*q.shape[:-2], n_groups, g, q.shape[-1])
-    return (qf * s[..., :, None, :]).reshape(*q.shape[:-2], cin, q.shape[-1])
+    if n_groups == 1:
+        w = jnp.concatenate([lo, hi], axis=-2).astype(s.dtype)
+        return w * s
+    ng2 = n_groups // 2
+    g = half // ng2
+
+    def dq(part, s_part):
+        pf = part.astype(s.dtype).reshape(*lead, ng2, g, cout)
+        return (pf * s_part[..., :, None, :]).reshape(*lead, half, cout)
+
+    return jnp.concatenate(
+        [dq(lo, s[..., :ng2, :]), dq(hi, s[..., ng2:, :])], axis=-2)
 
 
 def _pack4(q: jax.Array) -> jax.Array:
-    """(..., in, out) int values in [-7, 7] -> packed uint8 (..., in//2, out)."""
+    """(..., in, out) int values in [-7, 7] -> packed uint8 (..., in//2, out),
+    half-split along the contraction dim (see _dequant4)."""
     b = (q + 8).astype(jnp.uint8)
-    lo = b[..., 0::2, :]
-    hi = b[..., 1::2, :]
+    half = q.shape[-2] // 2
+    lo = b[..., :half, :]
+    hi = b[..., half:, :]
     return lo | (hi << jnp.uint8(4))
 
 
@@ -192,6 +209,8 @@ def quantize_stack_params_int4(layers: dict, group: int = 128,
         w = jnp.asarray(layers[name], jnp.float32)
         l, cin, cout = w.shape
         g = group if cin % group == 0 else cin
+        if (cin // g) > 1 and (cin // g) % 2:
+            g = cin  # half-split packing needs an even group count (or 1)
         wg = w.reshape(l, cin // g, g, cout)
         scale = jnp.max(jnp.abs(wg), axis=2, keepdims=True) / 7.0
         scale = jnp.maximum(scale, 1e-8)
