@@ -36,12 +36,33 @@ def _kernel(h_ref, q_ref, s_ref, o_ref, *, reps: int, group_mode: str):
     h = h_ref[:]                        # (B, 2*HALF) bf16
     acc = jnp.zeros((B, OUT), jnp.float32)
     for r in range(reps):
-        tile = q_ref[:]                 # (HALF, OUT) uint8
-        lo_u = (tile & jnp.uint8(0x0F)).astype(jnp.bfloat16) - jnp.bfloat16(8)
-        hi_u = (tile >> jnp.uint8(4)).astype(jnp.bfloat16) - jnp.bfloat16(8)
+        tile = q_ref[:]                 # (HALF, OUT) int8 (bitcast container)
+        # Mosaic has neither uint8 casts nor int8 shifts: lo is the biased
+        # nibble; hi is stored SIGNED and extracted shift-free.
+        lo_bits = tile & jnp.int8(0x0F)
+        lo_u = lo_bits.astype(jnp.bfloat16) - jnp.bfloat16(8)
+        hi_u = ((tile.astype(jnp.bfloat16) - lo_bits.astype(jnp.bfloat16))
+                * jnp.bfloat16(0.0625))
         sf = s_ref[:].astype(jnp.bfloat16)      # (2*NG2, OUT)
+        if group_mode == "plain8":              # baseline: int8 weights as-is
+            acc = acc + jax.lax.dot_general(
+                h[:, :HALF], tile.astype(jnp.bfloat16),
+                (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+            h = jnp.concatenate(
+                [acc[:, :HALF] * jnp.float32(1e-6) + h[:, :HALF].astype(jnp.float32),
+                 h[:, HALF:].astype(jnp.float32)], axis=-1).astype(jnp.bfloat16)
+            continue
         for part, h0, g0 in ((lo_u, 0, 0), (hi_u, HALF, NG2)):
-            if group_mode == "expand":
+            if group_mode == "unpack_only":
+                acc = acc + jax.lax.dot_general(
+                    h[:, h0:h0 + HALF], part, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+            elif group_mode == "rowscale":
+                w = part * sf[g0:g0 + 1]
+                acc = acc + jax.lax.dot_general(
+                    h[:, h0:h0 + HALF], w, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+            elif group_mode == "expand":
                 s_t = sf[g0:g0 + NG2]           # (NG2, OUT)
                 s_e = jnp.broadcast_to(s_t[:, None, :], (NG2, G128, OUT))
                 s_e = s_e.reshape(HALF, OUT)
@@ -66,7 +87,9 @@ def _kernel(h_ref, q_ref, s_ref, o_ref, *, reps: int, group_mode: str):
 def run_mode(group_mode: str):
     key = jax.random.PRNGKey(0)
     kq, ks, kh = jax.random.split(key, 3)
-    q = jax.random.randint(kq, (HALF, OUT), 0, 255, jnp.int32).astype(jnp.uint8)
+    q = jax.lax.bitcast_convert_type(
+        jax.random.randint(kq, (HALF, OUT), 0, 255, jnp.int32).astype(jnp.uint8),
+        jnp.int8)
     s = (jax.random.uniform(ks, (2 * NG2, OUT)) * 0.02 + 0.001).astype(jnp.bfloat16)
     h = jax.random.normal(kh, (B, 2 * HALF), jnp.bfloat16)
 
@@ -91,14 +114,17 @@ def run_mode(group_mode: str):
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM)))
     got = np.asarray(fn1(h, q, s))
-    lo = (np.asarray(q) & 0x0F).astype(np.float32) - 8
-    hi = (np.asarray(q) >> 4).astype(np.float32) - 8
+    qu = np.asarray(q).view(np.uint8)
+    lo = (qu & 0x0F).astype(np.float32) - 8
+    hi = np.asarray(q).view(np.int8).astype(np.int32) >> 4  # signed nibble
+    hi = hi.astype(np.float32)
     sf = np.asarray(s, np.float32)
     se = np.repeat(sf, G128, axis=0)
     w = np.concatenate([lo, hi], axis=0) * se
     hf = np.asarray(h, np.float32)
     want = hf @ w.astype(np.float32)
-    err = np.abs(got - want).max() / max(np.abs(want).max(), 1e-6)
+    err = (np.abs(got - want).max() / max(np.abs(want).max(), 1e-6)
+           if group_mode == "expand" else float("nan"))
 
     dts = []
     for i in (1, 2, 3):
@@ -115,9 +141,9 @@ def run_mode(group_mode: str):
 
 if __name__ == "__main__":
     print(f"device={jax.devices()[0]}", flush=True)
-    for mode in ("expand", "groupdot"):
+    for mode in ("plain8", "unpack_only", "rowscale", "expand"):
         try:
             run_mode(mode)
         except Exception as e:
             print(f"  mode={mode} FAILED: {type(e).__name__}: "
-                  f"{str(e)[:300]}", flush=True)
+                  f"{str(e)[:4000]}", flush=True)

@@ -51,7 +51,11 @@ def _cp_only(batch: int, packed: bool, steps: int = 64):
             key, sub = jax.random.split(key)
             codes, esum = talker_mod.code_predictor_generate(
                 params, cfg, past, first, sub, sampling)
-            return key, acc + codes[0, 0]
+            # consume EVERY output: the first edition summed only
+            # codes[0, 0], which let XLA dead-code-eliminate micro-steps
+            # 2..15 and under-measured the loop ~8x (r4 finding #5 — the
+            # r3 "cp = 0.48 ms" came from this)
+            return key, acc + jnp.sum(codes) + jnp.sum(esum).astype(jnp.int32)
         _, acc = jax.lax.fori_loop(0, steps, body, (key, jnp.int32(0)))
         return acc
 

@@ -116,8 +116,13 @@ def _dequant4(q: jax.Array, s: jax.Array) -> jax.Array:
     half = q.shape[-2]
     lead = q.shape[:-2]
     cout = q.shape[-1]
-    lo = (q & jnp.uint8(0x0F)).astype(jnp.int8) - 8   # W[:half]
-    hi = (q >> jnp.uint8(4)).astype(jnp.int8) - 8     # W[half:]
+    qs = jax.lax.bitcast_convert_type(q, jnp.int8)
+    lo = (qs & jnp.int8(0x0F)) - 8                    # W[:half], biased nibble
+    # W[half:] is stored as a SIGNED 4-bit nibble (two's complement): the
+    # arithmetic >> of the bitcast int8 sign-extends it to the value
+    # directly. (Mosaic cannot shift int8 at all — the kernel extracts the
+    # same nibble shift-free as (qs - (qs & 0xF)) * 1/16; r4 probe.)
+    hi = jax.lax.bitcast_convert_type(q, jnp.int8) >> jnp.int8(4)
     n_groups = s.shape[-2]
     if n_groups == 1:
         w = jnp.concatenate([lo, hi], axis=-2).astype(s.dtype)
@@ -135,11 +140,12 @@ def _dequant4(q: jax.Array, s: jax.Array) -> jax.Array:
 
 def _pack4(q: jax.Array) -> jax.Array:
     """(..., in, out) int values in [-7, 7] -> packed uint8 (..., in//2, out),
-    half-split along the contraction dim (see _dequant4)."""
-    b = (q + 8).astype(jnp.uint8)
+    half-split along the contraction dim (see _dequant4). The low half is
+    stored biased (+8 in [1, 15]); the high half as signed two's-complement
+    nibbles (shift-free extraction in the Pallas kernel)."""
     half = q.shape[-2] // 2
-    lo = b[..., :half, :]
-    hi = b[..., half:, :]
+    lo = (q[..., :half, :] + 8).astype(jnp.uint8)
+    hi = (q[..., half:, :] % 16).astype(jnp.uint8)   # signed 4-bit bits
     return lo | (hi << jnp.uint8(4))
 
 

@@ -111,9 +111,18 @@ def _matmul_q4(stream, b, h_full, in_w, out_w, s_plane, l0, l0_next):
     for o0 in range(0, out_w, ot):
         acc = jnp.zeros((b, ot), jnp.float32)
         for i0 in range(0, half, it):
-            tile = stream.next_raw(l0, l0_next)                 # (it, ot) u8
-            lo = (tile & jnp.uint8(0x0F)).astype(jnp.bfloat16) - jnp.bfloat16(8)
-            hi = (tile >> jnp.uint8(4)).astype(jnp.bfloat16) - jnp.bfloat16(8)
+            tile = stream.next_raw(l0, l0_next)       # (it, ot) i8 bitcast
+            # Mosaic has neither uint8 casts nor int8 shifts (r4 probes):
+            # the container arrives BITCAST to int8; & 0xF reads the biased
+            # low nibble in two's complement, and the high nibble is stored
+            # SIGNED so (tile - lo_bits) wraps to exactly 16*value — the
+            # *1/16 is exact in bf16 (multiples of 16 in [-128, 112]).
+            lo_bits = tile & jnp.int8(0x0F)
+            lo = lo_bits.astype(jnp.bfloat16) - jnp.bfloat16(8)
+            # int8 subtract does not legalize in Mosaic (arith.subi): do it
+            # in bf16, exact for these integer magnitudes (<= 128)
+            hi = ((tile.astype(jnp.bfloat16) - lo_bits.astype(jnp.bfloat16))
+                  * jnp.bfloat16(0.0625))
             for part, base in ((lo, i0), (hi, half + i0)):
                 s_e = _scale_tile(s_plane, base, it, o0, ot, grows)
                 acc = acc + jnp.dot(h_full[:, base:base + it],
@@ -151,9 +160,6 @@ def _q4_kernel(x_ref, cos_ref, sin_ref, pad_ref, idx_ref,
     hbuf, hsem = scratch[cur:cur + 2]
     cur += 2
     kbuf, vbuf, knew, vnew, ksem, vsem, osem = scratch[cur:cur + 7]
-    cur += 7
-    if kv_quant:
-        (ksbuf, vsbuf, ksnew, vsnew, kssem, vssem, osem2) = scratch[cur:cur + 7]
     arrays = {"qkv": qkv_q_ref, "o": o_q_ref, "gu": gu_q_ref,
               "down": down_q_ref}
 
@@ -161,19 +167,16 @@ def _q4_kernel(x_ref, cos_ref, sin_ref, pad_ref, idx_ref,
     nbt = b // bt
 
     def kv_in(l_arr, rel, t):
+        # the int8 cache VALUES stream via DMA (lane dim D=128, aligned);
+        # the per-slot SCALES are (L,B,S,NKV) with NKV=8 lanes — a DMA
+        # slice of that violates Mosaic's 128-lane slice alignment (r4
+        # compile error), so the scale arrays are VMEM-RESIDENT inputs
+        # (<=2 MB at b<=8) read/written per layer by outer-dim index.
         slot = (rel * nbt + t) % 2
-        copies = [pltpu.make_async_copy(kc_ref.at[l_arr, pl.ds(t * bt, bt)],
-                                        kbuf.at[slot], ksem.at[slot]),
-                  pltpu.make_async_copy(vc_ref.at[l_arr, pl.ds(t * bt, bt)],
-                                        vbuf.at[slot], vsem.at[slot])]
-        if kv_quant:
-            copies += [pltpu.make_async_copy(
-                           ks_ref.at[l_arr, pl.ds(t * bt, bt)],
-                           ksbuf.at[slot], kssem.at[slot]),
-                       pltpu.make_async_copy(
-                           vs_ref.at[l_arr, pl.ds(t * bt, bt)],
-                           vsbuf.at[slot], vssem.at[slot])]
-        return copies
+        return [pltpu.make_async_copy(kc_ref.at[l_arr, pl.ds(t * bt, bt)],
+                                      kbuf.at[slot], ksem.at[slot]),
+                pltpu.make_async_copy(vc_ref.at[l_arr, pl.ds(t * bt, bt)],
+                                      vbuf.at[slot], vsem.at[slot])]
 
     def kv_start(l_arr, rel, t):
         for c in kv_in(l_arr, rel, t):
@@ -213,6 +216,30 @@ def _q4_kernel(x_ref, cos_ref, sin_ref, pad_ref, idx_ref,
         q = _rope(q, cos, sin)
         k = _rope(k, cos, sin)
 
+        if kv_quant:
+            # quantize the whole batch's new slot once per layer with
+            # nn.cache.quantize_kv semantics (divide by the f32 scale,
+            # store the bf16-rounded scale), update the layer's VMEM
+            # scale planes in place, and write them back whole (tiny)
+            def quant(xt):
+                xf = xt.astype(jnp.float32)                # (B, NKV, D)
+                sc = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1),
+                                 1e-8) / 127.0             # (B, NKV) f32
+                qv = jnp.clip(jnp.round(xf / sc[..., None]),
+                              -127, 127).astype(jnp.int8)
+                return qv, sc.astype(jnp.bfloat16)
+            k_qn_all, k_sc = quant(k)
+            v_qn_all, v_sc = quant(v)
+            ks_upd = jnp.where(slot_1s1 == idx, k_sc[:, None],
+                               ks_ref[pl.ds(l_arr, 1)][0])  # (B, S, NKV)
+            vs_upd = jnp.where(slot_1s1 == idx, v_sc[:, None],
+                               vs_ref[pl.ds(l_arr, 1)][0])
+            ks_out[pl.ds(l_arr, 1)] = ks_upd[None]
+            vs_out[pl.ds(l_arr, 1)] = vs_upd[None]
+        else:
+            k_qn_all = k
+            v_qn_all = v
+
         ctxs = []
         writes = []
         for t in range(nbt):
@@ -220,32 +247,17 @@ def _q4_kernel(x_ref, cos_ref, sin_ref, pad_ref, idx_ref,
             slot = (rel * nbt + t) % 2
             kb = kbuf[slot]  # (bt, S, NKV, D) cache dtype
             vb = vbuf[slot]
-            kt_new = jax.lax.slice_in_dim(k, t * bt, (t + 1) * bt, axis=0)
-            vt_new = jax.lax.slice_in_dim(v, t * bt, (t + 1) * bt, axis=0)
-
+            k_qn = jax.lax.slice_in_dim(k_qn_all, t * bt, (t + 1) * bt,
+                                        axis=0).astype(kb.dtype)
+            v_qn = jax.lax.slice_in_dim(v_qn_all, t * bt, (t + 1) * bt,
+                                        axis=0).astype(vb.dtype)
+            kfull = jnp.where(slot_bs1d == idx, k_qn[:, None], kb)
+            vfull = jnp.where(slot_bs1d == idx, v_qn[:, None], vb)
             if kv_quant:
-                # quantize the new slot with nn.cache.quantize_kv semantics
-                # (divide by the f32 scale, store the bf16-rounded scale)
-                def quant(xt):
-                    xf = xt.astype(jnp.float32)            # (bt, NKV, D)
-                    sc = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1),
-                                     1e-8) / 127.0         # (bt, NKV) f32
-                    qv = jnp.clip(jnp.round(xf / sc[..., None]),
-                                  -127, 127).astype(jnp.int8)
-                    return qv, sc.astype(jnp.bfloat16)
-                k_qn, k_sc = quant(kt_new)
-                v_qn, v_sc = quant(vt_new)
-                kfull = jnp.where(slot_bs1d == idx, k_qn[:, None], kb)
-                vfull = jnp.where(slot_bs1d == idx, v_qn[:, None], vb)
-                ksfull = jnp.where(slot_1s1 == idx, k_sc[:, None],
-                                   ksbuf[slot])            # (bt, S, NKV)
-                vsfull = jnp.where(slot_1s1 == idx, v_sc[:, None],
-                                   vsbuf[slot])
-            else:
-                k_qn = kt_new.astype(kb.dtype)
-                v_qn = vt_new.astype(vb.dtype)
-                kfull = jnp.where(slot_bs1d == idx, k_qn[:, None], kb)
-                vfull = jnp.where(slot_bs1d == idx, v_qn[:, None], vb)
+                ksfull = jax.lax.slice_in_dim(ks_upd, t * bt, (t + 1) * bt,
+                                              axis=0)      # (bt, S, NKV)
+                vsfull = jax.lax.slice_in_dim(vs_upd, t * bt, (t + 1) * bt,
+                                              axis=0)
 
             if writes:
                 for w in writes[-1]:
@@ -258,15 +270,6 @@ def _q4_kernel(x_ref, cos_ref, sin_ref, pad_ref, idx_ref,
                   pltpu.make_async_copy(
                       vnew, vc_out.at[l_arr, pl.ds(t * bt, bt), pl.ds(idx, 1)],
                       osem.at[1])]
-            if kv_quant:
-                ksnew[:] = k_sc[:, None]
-                vsnew[:] = v_sc[:, None]
-                ko += [pltpu.make_async_copy(
-                           ksnew, ks_out.at[l_arr, pl.ds(t * bt, bt),
-                                            pl.ds(idx, 1)], osem2.at[0]),
-                       pltpu.make_async_copy(
-                           vsnew, vs_out.at[l_arr, pl.ds(t * bt, bt),
-                                            pl.ds(idx, 1)], osem2.at[1])]
             for w in ko:
                 w.start()
             writes.append(ko)
@@ -307,7 +310,7 @@ def _q4_kernel(x_ref, cos_ref, sin_ref, pad_ref, idx_ref,
                           _lrow(o_s_ref, l_arr), l0, l0_next)
         x = x + attn.astype(x.dtype)
 
-        h2 = _rms(x, post_ln_ref[l_arr, 0][None, :], eps)
+        h2 = _rms(x, _lrow(post_ln_ref, l_arr), eps)
         gu = _matmul_q4(stream, b, h2, hidden, 2 * inter,
                         _lrow(gu_s_ref, l_arr), l0, l0_next)
         gate = gu[:, :inter]
@@ -361,9 +364,11 @@ def _q4_kernel(x_ref, cos_ref, sin_ref, pad_ref, idx_ref,
         if j + 1 < len(tiles):
             head_dma(j + 1, (j + 1) % 2).start()
         head_dma(j, j % 2).wait()
-        tile = hbuf[j % 2]
-        lo = (tile & jnp.uint8(0x0F)).astype(jnp.bfloat16) - jnp.bfloat16(8)
-        hi = (tile >> jnp.uint8(4)).astype(jnp.bfloat16) - jnp.bfloat16(8)
+        tile = hbuf[j % 2]                            # (it, ot) i8 bitcast
+        lo_bits = tile & jnp.int8(0x0F)
+        lo = lo_bits.astype(jnp.bfloat16) - jnp.bfloat16(8)
+        hi = ((tile.astype(jnp.bfloat16) - lo_bits.astype(jnp.bfloat16))
+              * jnp.bfloat16(0.0625))
         for part, base in ((lo, i0), (hi, half_h + i0)):
             s_e = _scale_tile(head_s_ref, base, it, o0, ot, grows_h)
             acc = acc + jnp.dot(last_h[:, base:base + it], part * s_e,
@@ -412,10 +417,14 @@ def fused_talker_step_q4(layers: dict, final_norm: jax.Array,
     kv_quant = k_cache.dtype == jnp.int8
     assert (k_scale is not None) == kv_quant
 
-    qkv_q = layers["qkv_proj_q4"]
-    o_q = layers["o_proj_q4"]
-    gu_q = layers["gate_up_proj_q4"]
-    down_q = layers["down_proj_q4"]
+    def _i8(a):  # Mosaic-compatible view of the packed uint8 container
+        return jax.lax.bitcast_convert_type(a, jnp.int8)
+
+    qkv_q = _i8(layers["qkv_proj_q4"])
+    o_q = _i8(layers["o_proj_q4"])
+    gu_q = _i8(layers["gate_up_proj_q4"])
+    down_q = _i8(layers["down_proj_q4"])
+    head_q4 = _i8(head_q4)
     qd = o_q.shape[1] * 2             # o packed rows = qd // 2
     nq = qd // d
     inter = down_q.shape[1] * 2       # down packed rows = inter // 2
@@ -447,7 +456,7 @@ def fused_talker_step_q4(layers: dict, final_norm: jax.Array,
 
     sched = _pair_plan_q4(hidden, qd, nkv * d, inter)
     shapes, _, _, _ = plan_groups(sched)
-    wbuf_scratch = [pltpu.VMEM((2, it, ot), jnp.uint8) for it, ot in shapes]
+    wbuf_scratch = [pltpu.VMEM((2, it, ot), jnp.int8) for it, ot in shapes]
     wsem_scratch = [pltpu.SemaphoreType.DMA((2,)) for _ in shapes]
     h_it, h_ot = tile_shape(hidden // 2, vocab)
     bt = _batch_tile(b, s_max, nkv, d)
@@ -480,7 +489,7 @@ def fused_talker_step_q4(layers: dict, final_norm: jax.Array,
     scratch = [
         *wbuf_scratch,
         *wsem_scratch,
-        pltpu.VMEM((2, h_it, h_ot), jnp.uint8),
+        pltpu.VMEM((2, h_it, h_ot), jnp.int8),
         pltpu.SemaphoreType.DMA((2,)),
         pltpu.VMEM((2, bt, s_max, nkv, d), k_cache.dtype),
         pltpu.VMEM((2, bt, s_max, nkv, d), v_cache.dtype),
@@ -504,18 +513,11 @@ def fused_talker_step_q4(layers: dict, final_norm: jax.Array,
     if kv_quant:
         out_shape += [jax.ShapeDtypeStruct(k_scale.shape, k_scale.dtype),
                       jax.ShapeDtypeStruct(v_scale.shape, v_scale.dtype)]
-        in_specs += [any_, any_]
-        out_specs += [any_, any_]
+        # scales are VMEM-resident (no DMA slicing: their 8-wide lane dim
+        # cannot be DMA-sliced under Mosaic's 128-lane alignment rule)
+        in_specs += [vmem, vmem]
+        out_specs += [vmem, vmem]
         aliases = {20: 2, 21: 3, 22: 4, 23: 5}
-        scratch += [
-            pltpu.VMEM((2, bt, s_max, nkv), jnp.bfloat16),
-            pltpu.VMEM((2, bt, s_max, nkv), jnp.bfloat16),
-            pltpu.VMEM((bt, 1, nkv), jnp.bfloat16),
-            pltpu.VMEM((bt, 1, nkv), jnp.bfloat16),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
-        ]
         operands += [k_scale, v_scale]
 
     res = pl.pallas_call(
