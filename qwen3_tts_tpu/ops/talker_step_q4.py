@@ -84,50 +84,56 @@ def _lrow(ref, l_arr):
     return ref[pl.ds(l_arr, 1)][0]
 
 
-def _scale_tile(s_plane, i0, it, o0, ot, grows):
-    """(it, ot) bf16 per-row scales for packed-part rows [i0, i0+it) of a
-    matrix whose scale groups span `grows` contraction rows each.
-    s_plane: (G, out_w) bf16."""
-    if grows >= it:
-        # tile inside one group (grows % it == 0 asserted by the wrapper)
-        return jnp.broadcast_to(s_plane[i0 // grows:i0 // grows + 1,
-                                        o0:o0 + ot], (it, ot))
-    ng_t = it // grows
-    s_t = s_plane[i0 // grows:i0 // grows + ng_t, o0:o0 + ot]  # (ng_t, ot)
-    return jnp.broadcast_to(s_t[:, None, :], (ng_t, grows, ot)).reshape(it, ot)
+def _group_sums(h_full, kg):
+    """(b, in_w) -> (b, in_w//kg) f32 sums of kg-wide lane chunks (for the
+    lo-nibble +8 bias correction). The lane-split reshape is Mosaic-legal
+    (probed r4)."""
+    b, in_w = h_full.shape
+    return h_full.astype(jnp.float32).reshape(b, in_w // kg, kg).sum(-1)
 
 
 def _matmul_q4(stream, b, h_full, in_w, out_w, s_plane, l0, l0_next):
     """(b, in_w) @ int4-packed (in_w, out_w) -> (b, out_w) f32.
 
-    Tiles stream packed (rows = in_w//2); each tile unpacks into the low
-    half (W rows [i0, i0+it)) and the high half (W rows [half+i0, ...)),
-    each multiplied by its expanded group scales and fed to the MXU as a
-    full-depth operand — two dots per tile, no per-group dot fan-out."""
+    Dequant strategy (3rd formulation; the measured winner): the MXU
+    consumes the RAW nibble planes and the scales hit the accumulator —
+    per 128-row group g, acc += (h_g @ lo_bits_g - 8*sum(h_g)) * s_g
+    + (h_g' @ hi_units_g) * (s_g'/16), where lo_bits = (t & 0xF) is the
+    biased low nibble and hi_units = t_bf16 - lo_bits = 16*value of the
+    SIGNED high nibble. Elementwise work is 4 ops per packed byte (2 per
+    weight value); the first formulation (expand scales onto (it, ot) and
+    pre-multiply the weights) spent ~9 ops/byte and measured SLOWER than
+    the int8 kernel (5.78 vs 5.00 ms at b=1) despite half the DMA.
+    Mosaic constraints honored: no uint8 casts, no int8 shifts, no int8
+    subtract (all bit-extraction in `&` + bf16 arithmetic)."""
     half = in_w // 2
     grows = in_w // s_plane.shape[0]       # contraction rows per scale group
     it, ot = tile_shape(half, out_w)
+    kg = min(grows, it)
+    hg = _group_sums(h_full, kg)           # (b, in_w//kg) f32
     outs = []
     for o0 in range(0, out_w, ot):
         acc = jnp.zeros((b, ot), jnp.float32)
         for i0 in range(0, half, it):
             tile = stream.next_raw(l0, l0_next)       # (it, ot) i8 bitcast
-            # Mosaic has neither uint8 casts nor int8 shifts (r4 probes):
-            # the container arrives BITCAST to int8; & 0xF reads the biased
-            # low nibble in two's complement, and the high nibble is stored
-            # SIGNED so (tile - lo_bits) wraps to exactly 16*value — the
-            # *1/16 is exact in bf16 (multiples of 16 in [-128, 112]).
-            lo_bits = tile & jnp.int8(0x0F)
-            lo = lo_bits.astype(jnp.bfloat16) - jnp.bfloat16(8)
-            # int8 subtract does not legalize in Mosaic (arith.subi): do it
-            # in bf16, exact for these integer magnitudes (<= 128)
-            hi = ((tile.astype(jnp.bfloat16) - lo_bits.astype(jnp.bfloat16))
-                  * jnp.bfloat16(0.0625))
-            for part, base in ((lo, i0), (hi, half + i0)):
-                s_e = _scale_tile(s_plane, base, it, o0, ot, grows)
-                acc = acc + jnp.dot(h_full[:, base:base + it],
-                                    part * s_e,
-                                    preferred_element_type=jnp.float32)
+            lo_bits = (tile & jnp.int8(0x0F)).astype(jnp.bfloat16)
+            hi_units = tile.astype(jnp.bfloat16) - lo_bits   # 16 * value
+            for j in range(it // kg):
+                r0 = j * kg
+                g_lo = (i0 + r0) // kg
+                s_lo = s_plane[(i0 + r0) // grows:(i0 + r0) // grows + 1,
+                               o0:o0 + ot].astype(jnp.float32)
+                s_hi = s_plane[(half + i0 + r0) // grows:
+                               (half + i0 + r0) // grows + 1,
+                               o0:o0 + ot].astype(jnp.float32)
+                d_lo = jnp.dot(h_full[:, i0 + r0:i0 + r0 + kg],
+                               lo_bits[r0:r0 + kg],
+                               preferred_element_type=jnp.float32)
+                d_hi = jnp.dot(h_full[:, half + i0 + r0:half + i0 + r0 + kg],
+                               hi_units[r0:r0 + kg],
+                               preferred_element_type=jnp.float32)
+                acc = (acc + (d_lo - 8.0 * hg[:, g_lo:g_lo + 1]) * s_lo
+                       + d_hi * (s_hi * 0.0625))
         outs.append(acc)
     return jnp.concatenate(outs, axis=-1) if len(outs) > 1 else outs[0]
 
@@ -344,10 +350,13 @@ def _q4_kernel(x_ref, cos_ref, sin_ref, pad_ref, idx_ref,
     last_h = _rms(x, fn_ref[:], eps)
     h_out_ref[:] = last_h
 
-    # codec head: packed tiles through a dedicated double buffer
+    # codec head: packed tiles through a dedicated double buffer (same
+    # raw-bits + accumulator-scale formulation as _matmul_q4)
     half_h = hidden // 2
     grows_h = hidden // head_s_ref.shape[0]
     it, ot = tile_shape(half_h, vocab)
+    kg_h = min(grows_h, it)
+    hg_h = _group_sums(last_h, kg_h)
     tiles = [(o0, i0) for o0 in range(0, vocab, ot)
              for i0 in range(0, half_h, it)]
 
@@ -365,14 +374,24 @@ def _q4_kernel(x_ref, cos_ref, sin_ref, pad_ref, idx_ref,
             head_dma(j + 1, (j + 1) % 2).start()
         head_dma(j, j % 2).wait()
         tile = hbuf[j % 2]                            # (it, ot) i8 bitcast
-        lo_bits = tile & jnp.int8(0x0F)
-        lo = lo_bits.astype(jnp.bfloat16) - jnp.bfloat16(8)
-        hi = ((tile.astype(jnp.bfloat16) - lo_bits.astype(jnp.bfloat16))
-              * jnp.bfloat16(0.0625))
-        for part, base in ((lo, i0), (hi, half_h + i0)):
-            s_e = _scale_tile(head_s_ref, base, it, o0, ot, grows_h)
-            acc = acc + jnp.dot(last_h[:, base:base + it], part * s_e,
-                                preferred_element_type=jnp.float32)
+        lo_bits = (tile & jnp.int8(0x0F)).astype(jnp.bfloat16)
+        hi_units = tile.astype(jnp.bfloat16) - lo_bits
+        for jj in range(it // kg_h):
+            r0 = jj * kg_h
+            g_lo = (i0 + r0) // kg_h
+            s_lo = head_s_ref[(i0 + r0) // grows_h:(i0 + r0) // grows_h + 1,
+                              o0:o0 + ot].astype(jnp.float32)
+            s_hi = head_s_ref[(half_h + i0 + r0) // grows_h:
+                              (half_h + i0 + r0) // grows_h + 1,
+                              o0:o0 + ot].astype(jnp.float32)
+            d_lo = jnp.dot(last_h[:, i0 + r0:i0 + r0 + kg_h],
+                           lo_bits[r0:r0 + kg_h],
+                           preferred_element_type=jnp.float32)
+            d_hi = jnp.dot(last_h[:, half_h + i0 + r0:half_h + i0 + r0 + kg_h],
+                           hi_units[r0:r0 + kg_h],
+                           preferred_element_type=jnp.float32)
+            acc = (acc + (d_lo - 8.0 * hg_h[:, g_lo:g_lo + 1]) * s_lo
+                   + d_hi * (s_hi * 0.0625))
         if i0 + it >= half_h:
             outs.append(acc)
             acc = jnp.zeros((b, ot), jnp.float32)
@@ -436,7 +455,7 @@ def fused_talker_step_q4(layers: dict, final_norm: jax.Array,
             raise ValueError(
                 f"fused q4 talker step requires {name} % 256 == 0, got {dim}")
     # scale-group geometry: each packed tile must divide into (or fit
-    # inside) whole groups for _scale_tile's static expansion
+    # inside) whole groups for the static per-group dot plan
     for s_arr, in_w, out_w in ((layers["qkv_proj_s4"], hidden, qd + 2 * nkv * d),
                                (layers["o_proj_s4"], qd, hidden),
                                (layers["gate_up_proj_s4"], hidden, 2 * inter),

@@ -166,12 +166,16 @@ def test_streaming_rejects_25hz_tokenizer(custom_voice_model):
 def test_int8_kernel_quantization_option(tmp_path_factory):
     """`quantization="int8-kernel"` packs production-layout predictors for the
     fused Pallas micro-step kernel; on the tiny test checkpoint (non-production
-    dims) it must fail with a clear layout error, not an opaque assert."""
+    dims) it falls back to the XLA cp path GRACEFULLY (r4: the kernels are
+    perf opt-ins — a tiny checkpoint must still load) with no packed-kernel
+    keys installed."""
     d = build_checkpoint(str(tmp_path_factory.mktemp("cvq")), "custom_voice")
-    with pytest.raises(ValueError, match="production code-predictor layout"):
-        Qwen3TTSModel.from_pretrained(d, dtype=jnp.bfloat16,
+    m = Qwen3TTSModel.from_pretrained(d, dtype=jnp.bfloat16,
                                       load_processor=False,
                                       quantization="int8-kernel")
+    cp = m.talker_params["code_predictor"]
+    assert "packed" not in cp and "frame_packed" not in cp
+    assert "qkv_proj_q" in m.talker_params["layers"]  # int8 still applied
     with pytest.raises(ValueError, match="unknown quantization"):
         Qwen3TTSModel.from_pretrained(d, load_processor=False,
                                       quantization="int2")  # int4 exists now
