@@ -198,9 +198,16 @@ def pack_talker_params(params: dict) -> dict:
             # equal chunks; micro-step kernel fallback otherwise)
             cp["frame_packed"] = pack_frame_weights(cp,
                                                     cp["lm_heads_q"].shape[2])
-    except ValueError:
+    except ValueError as e:
         # non-production cp geometry (tiny test checkpoints): the kernels
-        # are perf opt-ins — fall back to the XLA cp path silently
+        # are perf opt-ins — fall back to the XLA cp path. Warn so a genuine
+        # packing bug on production weights cannot silently degrade serving
+        # to the slow path (advisor r4).
+        import warnings
+
+        warnings.warn(
+            f"code-predictor kernel packing unavailable, falling back to the "
+            f"XLA cp path: {e}", RuntimeWarning, stacklevel=2)
         cp.pop("packed", None)
         cp.pop("frame_packed", None)
     p["code_predictor"] = cp

@@ -127,7 +127,19 @@ def _dequant4(q: jax.Array, s: jax.Array) -> jax.Array:
     if n_groups == 1:
         w = jnp.concatenate([lo, hi], axis=-2).astype(s.dtype)
         return w * s
+    # half-split layout requires the scale groups to split evenly across the
+    # halves AND group boundaries to align with the half boundary; an odd
+    # group count (hand-built or older-quantizer container) would silently
+    # map scales to the wrong halves
+    if n_groups % 2:
+        raise ValueError(
+            f"_dequant4: scale group count {n_groups} must be 1 or even for "
+            f"the half-split int4 container (see quantize_stack_params_int4)")
     ng2 = n_groups // 2
+    if half % ng2:
+        raise ValueError(
+            f"_dequant4: {ng2} groups per half do not divide the packed row "
+            f"count {half}")
     g = half // ng2
 
     def dq(part, s_part):

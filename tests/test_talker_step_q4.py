@@ -149,9 +149,16 @@ def test_q4_kernel_matches_xla_int8kv(setup):
                                   np.asarray(ref_cache.v)[:, :, mask])
 
 
+@pytest.mark.isolate
 def test_q4_dispatch_in_decode_step():
     """talker_decode_step routes through the q4 kernel when the capability
-    flag is present (small batch), and the step stays numerically sane."""
+    flag is present (small batch), and the step stays numerically sane.
+
+    isolate: this compiles a production-geometry (1.7B dims, L=2)
+    interpret-mode Pallas step including the cp frame megakernel — late in a
+    full-suite run the long-lived process reproducibly dies inside
+    backend_compile_and_load (SIGABRT/SIGSEGV, r4 verdict weak #1), while
+    the same compile succeeds in a fresh interpreter."""
     from qwen3_tts_tpu.models.presets import talker_1p7b
     from qwen3_tts_tpu.models import talker as talker_mod
 
