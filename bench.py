@@ -123,9 +123,11 @@ def _params_like(init_fn, *args, dtype):
 
 def bench_talker(batch: int = 1, cache_len: int = 512, steps: int = 64,
                  quantize=False, packed: bool = False,
-                 step_kernel: bool = True, kv_quant: bool = False):
-    """quantize: False (bf16) | True/'int8' | 'int4' (group-wise, r4)."""
-    cfg = talker_1p7b()
+                 step_kernel: bool = True, kv_quant: bool = False,
+                 cfg=None):
+    """quantize: False (bf16) | True/'int8' | 'int4' (group-wise, r4).
+    cfg: talker geometry (default 1.7B; the 0.6B phase passes talker_0p6b)."""
+    cfg = cfg or talker_1p7b()
     spec = talker_spec(cfg)
     dtype = jnp.bfloat16
     from qwen3_tts_tpu.models.talker import (fuse_talker_params, init_talker_params,
@@ -502,6 +504,26 @@ def main():
         except Exception as e:
             print(f"b=1 step-kernel variant failed: {e!r}", file=sys.stderr,
                   flush=True)
+
+    # --- 7. 0.6B geometry detail rows (r4 verdict next-round #7): the
+    # released family ships 0.6B checkpoints too (README.md:68-79) — record
+    # b=1 and serving-batch step times at talker_0p6b so weights-day covers
+    # both sizes and the kernel gates see the second geometry. Pure-XLA int8
+    # programs (cheap compiles); failures never cost the headline.
+    _note("talker_0p6b")
+    try:
+        from qwen3_tts_tpu.models.presets import talker_0p6b
+
+        s6_fps, s6_ms = bench_talker(batch=serve_batch, quantize=True,
+                                     kv_quant=True, cfg=talker_0p6b())
+        _detail["talker_0p6b_step_ms_bN"] = round(s6_ms * 1e3, 3)
+        b6_fps, b6_ms = bench_talker(batch=1, quantize=True,
+                                     cfg=talker_0p6b())
+        _detail["talker_0p6b_step_ms_b1"] = round(b6_ms * 1e3, 3)
+        _detail["talker_0p6b_audio_s_per_s"] = round(
+            1.0 / (FRAME_RATE / s6_fps + 1.0 / voc_audio_n), 3)
+    except Exception as e:
+        print(f"0.6B phase failed: {e!r}", file=sys.stderr, flush=True)
 
     _note("done")
     _emit_and_exit(None)

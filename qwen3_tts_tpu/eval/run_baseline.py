@@ -178,12 +178,22 @@ def _quant_ab_rows(checkpoint: str, texts, max_new_tokens: int,
     base_codes = greedy_codes(base)
     base_wavs, sr = base._decode_wavs(base_codes)
 
-    variants = [("int8", "int8", None), ("int8+int8kv", "int8", "int8")]
-    try:
-        from ..models.talker import quantize_talker_params_int4  # noqa: F401
-        variants.append(("int4", "int4", None))
-    except ImportError:
-        pass
+    # one row per quantization string accepted by from_pretrained /
+    # ContinuousBatcher, incl. the KERNEL configs that ship the BENCH
+    # headlines (r4 verdict next-round #4: "int8-kernel"/"int4-kernel" were
+    # not on the A/B surface although the headline configs use them). On
+    # the tiny CI checkpoint the kernel gates (dims % 1024 / % 256) fall
+    # back to the XLA path — each row records whether the kernels actually
+    # engaged so weights-day (production geometry) reads unambiguously.
+    variants = [
+        ("int8", "int8", None),
+        ("int8-kernel", "int8-kernel", None),
+        ("int8+int8kv", "int8", "int8"),
+        ("int8+int8kv-kernel", "int8-kernel", "int8"),
+        ("int4", "int4", None),
+        ("int4-kernel", "int4-kernel", None),
+        ("int4+int8kv-kernel", "int4-kernel", "int8"),
+    ]
 
     for name, quant, kv in variants:
         try:
@@ -199,12 +209,21 @@ def _quant_ab_rows(checkpoint: str, texts, max_new_tokens: int,
                         pesq_score(np.asarray(bw[:n]), np.asarray(qw[:n]), sr))
                     deltas["stoi"].append(
                         stoi(np.asarray(bw[:n]), np.asarray(qw[:n]), sr))
+            tp = m.talker_params
+            kernels = sorted(
+                k for k in ("talker_kernel", "talker_kernel_q4") if k in tp)
+            cp = tp.get("code_predictor", {})
+            kernels += sorted(f"cp_{k}" for k in ("packed", "frame_packed")
+                              if k in cp)
             row = {
                 "status": "ok",
                 "greedy_divergence_step": div,  # None = identical stream
                 "pesq_vs_bf16": [round(float(v), 3) for v in deltas["pesq"]],
                 "stoi_vs_bf16": [round(float(v), 3) for v in deltas["stoi"]],
                 "budget": _QUANT_AB_BUDGET,
+                # which Pallas kernels this config actually engaged (empty on
+                # non-kernel configs and on geometries that fail the gates)
+                "kernels_engaged": kernels,
             }
             if deltas["stoi"]:
                 row["pass"] = bool(

@@ -38,6 +38,10 @@ class Qwen3TTSTokenizer:
         self.dtype = dtype
         self.encoder_params = encoder_params
         self.decoder_params = decoder_params
+        # opt-in: vocode through the per-DecoderBlock fused Pallas kernel
+        # (ops/seanet_block.py); parity-tested, enabled when HW-measured
+        # faster for the serving shape
+        self.fused_seanet = False
         self._encode_jit = {}
         self._decode_jit = {}
 
@@ -138,10 +142,11 @@ class Qwen3TTSTokenizer:
             end = min(start + chunk_size, t)
             ctx = left_context_size if start - left_context_size > 0 else start
             chunk = codes[..., start - ctx:end]
-            key = chunk.shape
+            key = (chunk.shape, self.fused_seanet)
             if key not in self._decode_jit:
                 self._decode_jit[key] = jax.jit(
-                    lambda p, c: codec_decode(p, self.config.decoder, c))
+                    lambda p, c, f=self.fused_seanet: codec_decode(
+                        p, self.config.decoder, c, fused_seanet=f))
             wav = self._decode_jit[key](self.decoder_params, chunk)
             wavs.append(wav[..., ctx * total_up:])
             start = end

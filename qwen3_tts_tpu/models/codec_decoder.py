@@ -106,9 +106,14 @@ def rvq_decode(codes: jax.Array, p: dict, eps: float = 1e-5) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
-def codec_decode(params: dict, cfg: CodecDecoderConfig, codes: jax.Array) -> jax.Array:
+def codec_decode(params: dict, cfg: CodecDecoderConfig, codes: jax.Array,
+                 fused_seanet: bool = False) -> jax.Array:
     """codes (B, K, T) int32 -> waveform (B, T_wav) in [-1, 1]
-    (reference modeling_..._v2.py:868-883)."""
+    (reference modeling_..._v2.py:868-883).
+
+    fused_seanet: route each DecoderBlock's residual-unit chain through the
+    per-block Pallas kernel (ops/seanet_block.py) — one HBM read+write per
+    block instead of ~6 traversals; parity-tested opt-in."""
     spec = decoder_transformer_spec(cfg)
     h = rvq_decode(codes, params["quantizer"])           # (B, T, codebook_dim)
     h = causal_conv1d(h, params["pre_conv_w"], params["pre_conv_b"])  # -> latent_dim
@@ -135,8 +140,14 @@ def codec_decode(params: dict, cfg: CodecDecoderConfig, codes: jax.Array) -> jax
     for blk, rate in zip(dec["blocks"], cfg.upsample_rates):
         h = snake_beta(h, blk["act_alpha"], blk["act_beta"])
         h = causal_transconv1d(h, blk["tconv_w"], blk["tconv_b"], stride=rate)
-        for ru, dilation in zip(blk["units"], (1, 3, 9)):
-            h = residual_unit(h, ru, dilation)
+        if fused_seanet and len(blk["units"]) == 3:
+            from ..ops.seanet_block import fused_block_units
+
+            h = fused_block_units(h, tuple(blk["units"]),
+                                  interpret=jax.default_backend() == "cpu")
+        else:
+            for ru, dilation in zip(blk["units"], (1, 3, 9)):
+                h = residual_unit(h, ru, dilation)
     h = snake_beta(h, dec["final_alpha"], dec["final_beta"])
     wav = causal_conv1d(h, dec["conv_out_w"], dec["conv_out_b"])  # (B, T_wav, 1)
     return jnp.clip(wav[..., 0], -1.0, 1.0)

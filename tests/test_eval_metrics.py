@@ -172,13 +172,18 @@ def test_run_baseline_gate_tiny_checkpoint(tmp_path_factory):
     # reference parity tries to load the torch reference from the checkpoint;
     # without the full reference deps it must degrade to a reasoned skip
     assert rows["reference_greedy_parity"]["status"] in ("ok", "skipped")
-    # quantization A/B: int8 and int8+int8kv rows run on the tiny checkpoint
-    # (greedy divergence step recorded per text; budget attached)
+    # quantization A/B: one row per deployable quantization string, incl.
+    # the -kernel configs the BENCH headlines ship (r4 verdict next-round
+    # #4); on the tiny geometry the kernel gates fall back and the row says
+    # so via kernels_engaged
     qab = rows["quantization_ab"]
-    for variant in ("int8", "int8+int8kv"):
+    for variant in ("int8", "int8-kernel", "int8+int8kv",
+                    "int8+int8kv-kernel", "int4", "int4-kernel",
+                    "int4+int8kv-kernel"):
         assert qab[variant]["status"] == "ok", qab[variant]
         assert len(qab[variant]["greedy_divergence_step"]) == 2
         assert "budget" in qab[variant]
+        assert "kernels_engaged" in qab[variant]
     assert "replace_invented_presets" in rows["weights_day_checklist"]
     md = report.to_markdown()
     assert "config1_custom_voice" in md

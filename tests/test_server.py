@@ -89,3 +89,44 @@ def test_streaming_endpoint(server):
     assert len(lines) >= 1
     pcm = base64.b64decode(lines[0]["pcm16_b64"])
     assert len(pcm) > 0 and lines[0]["sample_rate"] == 24000
+
+
+def test_overload_503_and_retry_after(tmp_path_factory):
+    """Admission limit: beyond max_inflight the server sheds with 503 +
+    Retry-After instead of queueing without bound (r4 verdict weak #5)."""
+    from qwen3_tts_tpu.inference.tts_model import Qwen3TTSModel
+    from qwen3_tts_tpu.serving.server import TTSServer, serve
+
+    d = build_checkpoint(str(tmp_path_factory.mktemp("ovl")), "custom_voice")
+    m = Qwen3TTSModel.from_pretrained(d, dtype=jnp.float32,
+                                      load_processor=False)
+    m.processor = StubProcessor()
+
+    # direct handle(): max_inflight=0 -> every synthesis is shed, health and
+    # metrics still answer
+    app = TTSServer(m, max_inflight=0)
+    code, payload = app.handle("/synthesize", {"text": "x", "speaker": "vivian"})
+    assert code == 503 and "retry_after_s" in payload
+    code, _ = app.handle("/health", None)
+    assert code == 200
+    code, snap = app.handle("/metrics", None)
+    assert code == 200 and snap["errors"] >= 1 and snap["max_inflight"] == 0
+
+    # over HTTP: the 503 carries a Retry-After header
+    httpd, app2 = serve(m, host="127.0.0.1", port=18755, block=False,
+                        max_inflight=0)
+    th = threading.Thread(target=httpd.serve_forever, daemon=True)
+    th.start()
+    try:
+        req = urllib.request.Request(
+            "http://127.0.0.1:18755/synthesize",
+            data=json.dumps({"text": "x", "speaker": "vivian"}).encode(),
+            headers={"Content-Type": "application/json"})
+        try:
+            urllib.request.urlopen(req, timeout=60)
+            raise AssertionError("expected HTTP 503")
+        except urllib.error.HTTPError as e:
+            assert e.code == 503
+            assert e.headers.get("Retry-After") is not None
+    finally:
+        httpd.shutdown()
