@@ -58,10 +58,16 @@ def main(batch=8, frames=300, iters=4):
     def make(fused):
         @jax.jit
         def run(p, c):
-            w = None
+            # ACCUMULATE across iters — assigning only the last result lets
+            # XLA dead-code-eliminate the previous iterations (NOTES r4
+            # finding #5's profiler bug; this script's first version had it)
+            acc = jnp.float32(0)
             for i in range(iters):
                 w = codec_decode(p, cfg, (c + i) % 2048, fused_seanet=fused)
-            return w
+                # strided reduction over the whole wave: every iteration's
+                # full output stays live
+                acc = acc + jnp.sum(w[:, ::997].astype(jnp.float32))
+            return acc
         return run
 
     results = {}
@@ -69,13 +75,13 @@ def main(batch=8, frames=300, iters=4):
         tag = "fused" if fused else "xla"
         fn = make(fused)
         t0 = time.time()
-        float(fn(params, codes)[0, 0])  # compile + warm
+        float(fn(params, codes))  # compile + warm
         print(f"{tag}: compile+warm {time.time() - t0:.1f}s",
               file=sys.stderr, flush=True)
         dts = []
         for s in (1, 2, 3):
             t0 = time.perf_counter()
-            _ = float(fn(params, codes + s)[0, 0])
+            _ = float(fn(params, codes + s))
             dts.append(time.perf_counter() - t0)
         per = min(dts) / iters
         audio = frames * batch / FRAME_RATE

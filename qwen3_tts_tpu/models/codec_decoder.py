@@ -47,13 +47,50 @@ def decoder_transformer_spec(cfg: CodecDecoderConfig) -> DecoderSpec:
 # ---------------------------------------------------------------------------
 
 
+_INV_PI = 0.3183098861837907
+# Cody-Waite split of pi: the high part is exact in 12 mantissa bits, so
+# x - k*PI_HI is exact for |k| < 2^11 and the reduction keeps full f32
+# precision for |x| up to ~6000
+_PI_HI = 3.140625
+_PI_LO = 9.676535897932e-4
+# Taylor coefficients of sin to x^11 (Horner over r^2); on [-pi/2, pi/2]
+# the x^13/13! tail bounds the error at < 6e-8
+_SIN_C = (-1.0 / 6.0, 1.0 / 120.0, -1.0 / 5040.0, 1.0 / 362880.0,
+          -1.0 / 39916800.0)
+
+
+def fast_sin(x: jax.Array) -> jax.Array:
+    """Range-reduced polynomial sine, f32.
+
+    Why: the builtin sine lowers to a long VPU sequence on TPU and measurably
+    DOMINATES the SEANet vocoder (r5 finding #2: snake is ~70% of the
+    residual-unit chain's wall-clock at the serving shape — the stack is
+    transcendental-bound, not conv-bound). Reduction to [-pi/2, pi/2] via
+    k = round(x/pi) (Cody-Waite two-step, sign flip for odd k) + an
+    11th-order odd Taylor polynomial is exact to ~1e-6 — two orders of
+    magnitude inside the vocoder parity budget (2e-4,
+    tests/test_codec_parity.py) — at a fraction of the op count."""
+    xf = x.astype(jnp.float32)
+    k = jnp.round(xf * _INV_PI)
+    r = (xf - k * _PI_HI) - k * _PI_LO
+    # sin(x) = (-1)^k sin(r)
+    k_odd = k - 2.0 * jnp.floor(k * 0.5)       # 0.0 or 1.0
+    sign = 1.0 - 2.0 * k_odd
+    r2 = r * r
+    p = _SIN_C[-1]
+    for c in _SIN_C[-2::-1]:
+        p = p * r2 + c
+    return sign * (r + r * r2 * p)
+
+
 def snake_beta(x: jax.Array, alpha: jax.Array, beta: jax.Array) -> jax.Array:
     """SnakeBeta activation: x + exp(-beta) * sin^2(x * exp(alpha)), with the
-    reference's 1e-9 guard (modeling_..._v2.py:577-615). Channel-last."""
+    reference's 1e-9 guard (modeling_..._v2.py:577-615). Channel-last.
+    Uses fast_sin (see above): bit-identical to < 5e-7 vs the builtin."""
     a = jnp.exp(alpha.astype(jnp.float32))
     b = jnp.exp(beta.astype(jnp.float32))
     xf = x.astype(jnp.float32)
-    y = xf + (1.0 / (b + 1e-9)) * jnp.square(jnp.sin(xf * a))
+    y = xf + (1.0 / (b + 1e-9)) * jnp.square(fast_sin(xf * a))
     return y.astype(x.dtype)
 
 
@@ -140,7 +177,12 @@ def codec_decode(params: dict, cfg: CodecDecoderConfig, codes: jax.Array,
     for blk, rate in zip(dec["blocks"], cfg.upsample_rates):
         h = snake_beta(h, blk["act_alpha"], blk["act_beta"])
         h = causal_transconv1d(h, blk["tconv_w"], blk["tconv_b"], stride=rate)
-        if fused_seanet and len(blk["units"]) == 3:
+        # per-block routing (r5 HW A/B, b=8 fast-sin both paths): the fused
+        # kernel wins 1.4-1.9x at the narrow blocks (C=192: 79.0 -> 54.9 ms;
+        # C=96: 102.4 -> 54.8) where XLA's small-channel convs collapse, and
+        # loses ~1.2x at C=768/384 where XLA convs run near-MXU-rate — so
+        # fuse only C <= 256
+        if fused_seanet and len(blk["units"]) == 3 and h.shape[-1] <= 256:
             from ..ops.seanet_block import fused_block_units
 
             h = fused_block_units(h, tuple(blk["units"]),

@@ -49,7 +49,7 @@ _T_TILE = {768: 512, 384: 1024, 256: 1024, 128: 2048}
 
 def _block_kernel(xp_ref, w7_ref, b7_ref, w1_ref, b1_ref, act_ref, out_ref,
                   xbuf, ubuf, sem, *, c: int, t_tile: int, n_units: int,
-                  dils: tuple):
+                  dils: tuple, diag: str = ""):
     bi = pl.program_id(0)
     ti = pl.program_id(1)
     l0 = t_tile + CTX_PAD
@@ -60,10 +60,15 @@ def _block_kernel(xp_ref, w7_ref, b7_ref, w1_ref, b1_ref, act_ref, out_ref,
     cp.wait()
 
     def snake(v, a_row, b_row):
+        from ..models.codec_decoder import fast_sin
+
+        if diag == "nosnake":  # diagnostic: isolate VPU transcendental cost
+            return v.astype(jnp.float32)
         a = jnp.exp(a_row.astype(jnp.float32))[None, :]
         b = jnp.exp(b_row.astype(jnp.float32))[None, :]
         vf = v.astype(jnp.float32)
-        return vf + (1.0 / (b + 1e-9)) * jnp.square(jnp.sin(vf * a))
+        sin = jnp.sin if diag == "slowsin" else fast_sin
+        return vf + (1.0 / (b + 1e-9)) * jnp.square(sin(vf * a))
 
     u_prev = xbuf[:]  # (L0, C) bf16; valid rows [0, L0)
     off_in = 0
@@ -76,7 +81,8 @@ def _block_kernel(xp_ref, w7_ref, b7_ref, w1_ref, b1_ref, act_ref, out_ref,
         # the minimum index is off_out - 6*d >= off_in by the _OFF schedule,
         # so every slice is statically in-bounds
         acc = jnp.broadcast_to(b7_ref[u].astype(jnp.float32), (l_out, c))
-        for j in range(7):
+        taps = (1,) if diag == "tap1" else range(7)  # diag: slice+dot cost
+        for j in taps:
             start = off_out - (6 - j) * d
             tap = jax.lax.slice_in_dim(h, start, start + l_out, axis=0)
             w_j = jax.lax.slice_in_dim(w7_ref[u], j * c, (j + 1) * c, axis=0)
@@ -108,9 +114,9 @@ def _block_kernel(xp_ref, w7_ref, b7_ref, w1_ref, b1_ref, act_ref, out_ref,
             off_in = off_out
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def fused_block_units(x: jax.Array, units: tuple, interpret: bool = False
-                      ) -> jax.Array:
+@functools.partial(jax.jit, static_argnames=("interpret", "diag", "t_tile"))
+def fused_block_units(x: jax.Array, units: tuple, interpret: bool = False,
+                      diag: str = "", t_tile: int = 0) -> jax.Array:
     """Run a DecoderBlock's three residual units fused.
 
     x: (B, T, C); units: tuple of 3 param dicts (conv1_w (7,C,C), conv1_b,
@@ -118,7 +124,7 @@ def fused_block_units(x: jax.Array, units: tuple, interpret: bool = False
     Returns (B, T, C) matching the XLA residual_unit chain."""
     b, t, c = x.shape
     cp_ = -(-c // 128) * 128
-    t_tile = _T_TILE.get(cp_, 1024)
+    t_tile = t_tile or _T_TILE.get(cp_, 1024)
     n_tiles = -(-t // t_tile)
     t_pad = n_tiles * t_tile
 
@@ -149,7 +155,7 @@ def fused_block_units(x: jax.Array, units: tuple, interpret: bool = False
                      for u in units])                # (3, 4, C)
 
     kernel = functools.partial(_block_kernel, c=cp_, t_tile=t_tile,
-                               n_units=len(units), dils=DILATIONS)
+                               n_units=len(units), dils=DILATIONS, diag=diag)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         kernel,
@@ -163,7 +169,14 @@ def fused_block_units(x: jax.Array, units: tuple, interpret: bool = False
             pltpu.SemaphoreType.DMA,
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary")),
+            dimension_semantics=("parallel", "arbitrary"),
+            # scratch (x + stage buffers) + stacked weights + out block +
+            # ~50% Mosaic working slack; the default 16 MB scoped limit
+            # rejects t_tile >= 4096 otherwise
+            vmem_limit_bytes=min(int(1.5 * (
+                3 * (t_tile + CTX_PAD) * cp_ * 2
+                + 3 * 8 * cp_ * cp_ * 2 + 3 * 6 * cp_ * 2
+                + t_tile * cp_ * 2)) + (8 << 20), 110 << 20)),
         interpret=interpret,
     )(xp, w7, b7, w1, b1, act)
     return out[:, :t, :c]

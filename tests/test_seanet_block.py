@@ -72,3 +72,16 @@ def test_fused_block_tile_boundaries():
 if __name__ == "__main__":
     import sys
     sys.exit(pytest.main([__file__, "-q", "-x"]))
+
+
+def test_fast_sin_accuracy():
+    """fast_sin (range-reduced Taylor-11, Cody-Waite) must stay ~1e-6 of
+    the true sine over the full activation range the vocoder can produce."""
+    from qwen3_tts_tpu.models.codec_decoder import fast_sin
+
+    rng = np.random.RandomState(0)
+    for lo, hi in ((-3.2, 3.2), (-300, 300), (-3000, 3000)):
+        x = jnp.asarray(rng.uniform(lo, hi, 200000).astype(np.float32))
+        err = np.abs(np.asarray(fast_sin(x))
+                     - np.sin(np.asarray(x, np.float64)))
+        assert err.max() < 2e-6, (lo, hi, err.max())
