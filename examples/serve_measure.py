@@ -120,6 +120,9 @@ def build_model(talker: str = "1p7b", dtype=jnp.bfloat16,
     log("building 12Hz vocoder params")
     voc = _params_like(init_codec_decoder_params, dcfg, dtype=dtype)
     tok = Qwen3TTSTokenizer(CodecConfig(decoder=dcfg), None, voc, dtype)
+    if talker != "tiny":
+        # r5 HW A/B: fused narrow-block SEANet + fast_sin = 1.48x vocoder
+        tok.fused_seanet = True
 
     tts_cfg = TTSConfig(talker=cfg_t, tts_model_type="custom_voice",
                         tts_model_size=talker.replace("p", "."),
