@@ -59,6 +59,13 @@ class _Request:
     slot: int = -1
     stream_q: Optional[queue.Queue] = None  # set for streamed requests
     deadline: Optional[float] = None        # monotonic admission deadline
+    # caller-thread-prepared join inputs (see _prep_request)
+    w: int = 0
+    n_valid: int = 0
+    embeds_w: object = None
+    row_mask_w: object = None
+    trailing_row: object = None
+    pad_np: object = None
 
 
 class ContinuousBatcher:
@@ -167,7 +174,47 @@ class ContinuousBatcher:
         # observability: callers holding only the future can reach the
         # request (delivered frame counts, slot) without a side channel
         req.future.request = req
+        # pre-pad the prompt to its bucket width HERE, on the caller thread:
+        # admission used to build these with ~10 device ops per join on the
+        # worker thread — each a full RPC round trip (25-100 ms dispatch
+        # floor), measured at ~0.32 s/join = 45% of serving wall-clock
+        # (serve_measure r5). Caller threads absorb the one host fetch in
+        # parallel; the worker then makes exactly ONE dispatch per join.
+        self._prep_request(req)
         return req
+
+    def _prep_request(self, req: _Request):
+        """Host-side (numpy) bucket-padded join inputs; ships with the join
+        dispatch. Also used lazily by _admit for directly-constructed
+        requests (multichip dryrun)."""
+        p = req.prompt
+        t_p = p.inputs_embeds.shape[1]
+        decode_room = self.cache_len - 2 * self.burst_frames
+        if t_p >= decode_room:
+            err = ValueError(
+                f"prompt length {t_p} does not fit cache_len "
+                f"{self.cache_len} (need < {decode_room})")
+            if req.stream_q is not None:
+                req.stream_q.put(err)
+            req.future.set_exception(err)
+            req.prompt = None  # dead request: submit/admit skip it
+            return
+        w = min(self._bucket(t_p), decode_room)
+        n_valid = int(np.asarray(p.attention_mask).sum())
+        h = self.cfg.hidden_size
+        dt = np.asarray(jnp.zeros((0,), self.dtype)).dtype  # ml_dtypes bf16
+        embeds_w = np.zeros((1, w, h), dt)
+        embeds_w[:, w - t_p:] = np.asarray(p.inputs_embeds, dt)
+        row_mask_w = np.zeros((1, w), np.int32)
+        row_mask_w[:, w - n_valid:] = 1
+        trailing_row = np.zeros((self.trailing_cap, h), dt)
+        t_tr = p.trailing_text_hidden.shape[1]  # <= trailing_cap (checked)
+        trailing_row[:t_tr] = np.asarray(p.trailing_text_hidden[0], dt)
+        pad_np = np.asarray(p.tts_pad_embed, dt)
+        trailing_row[t_tr:] = pad_np[0]
+        req.w, req.n_valid = w, n_valid
+        req.embeds_w, req.row_mask_w = embeds_w, row_mask_w
+        req.trailing_row, req.pad_np = trailing_row, pad_np
 
     def submit(self, text: str, speaker: Optional[str] = None,
                language: str = "auto", instruct: Optional[str] = None,
@@ -201,6 +248,8 @@ class ContinuousBatcher:
                                  repetition_penalty, subtalker_dosample,
                                  subtalker_top_k, subtalker_top_p,
                                  subtalker_temperature)
+        if req.prompt is None:  # rejected at prep (too-long prompt)
+            return req.future
         if deadline_s is not None:
             req.deadline = time.monotonic() + deadline_s
         try:
@@ -241,7 +290,9 @@ class ContinuousBatcher:
         if deadline_s is not None:
             req.deadline = time.monotonic() + deadline_s
         try:
-            self._queue.put(req, block=block, timeout=timeout)
+            if req.prompt is not None:  # dead request: gen() raises from
+                # the stream_q error sentinel _prep_request posted
+                self._queue.put(req, block=block, timeout=timeout)
         except queue.Full:
             raise BatcherOverloaded(
                 f"admission queue full ({self.max_queue} waiting; "
@@ -302,6 +353,10 @@ class ContinuousBatcher:
         self.trailing = jnp.zeros((b, self.trailing_cap, self.cfg.hidden_size),
                                   self.dtype)
         self.pad_embed = jnp.zeros((1, self.cfg.hidden_size), self.dtype)
+        # host mirror of the shared cache write index: joins advance it by
+        # `advance`, bursts by burst_frames — the worker never fetches the
+        # device scalar (each int() was an RPC round trip)
+        self._host_index = 1
         # per-slot talker + sub-talker sampling knobs (traced inputs of the
         # shared program; the reference honors subtalker_* per call,
         # qwen3_tts_model.py:287-352)
@@ -324,12 +379,43 @@ class ContinuousBatcher:
         # opt-in like generate_frames: XLA's masked path wins at these widths
         use_flash = False
 
-        @jax.jit
+        @functools.partial(jax.jit, donate_argnums=(1, 2, 3, 4, 5))
         def join(params, state: TalkerState, pad_mask, trailing_buf,
-                 embeds_w, row_mask_w, trailing_row, pad_embed, slot, key,
-                 samp_row: BatchedSampling):
+                 samp: BatchedSampling, sub_samp: BatchedSampling,
+                 embeds_w, row_mask_w, trailing_row, slot, advance, key,
+                 t_temp, t_topk, t_topp, t_rep, s_temp, s_topk, s_topp,
+                 s_rep):
             """Prefill one request over a w-wide window ending exactly at
-            state.cache.index, install its KV rows into `slot`."""
+            the (advanced) shared index, install its KV rows into `slot`.
+
+            ONE dispatch per admission: the index advance + gap-column
+            invalidation, the per-slot sampling-knob updates (talker AND
+            sub-talker), and the first-token sample are all folded in —
+            they used to be ~10 separate device ops per join, each paying
+            the RPC tunnel's 25-100 ms dispatch floor (45% of serving
+            wall-clock, serve_measure r5)."""
+            idx0 = state.cache.index
+            state = state._replace(cache=state.cache._replace(
+                index=idx0 + advance))
+            col = jnp.arange(s_max)
+            gap = (col >= idx0) & (col < idx0 + advance)
+            pad_mask = jnp.where(gap[None, :], 0, pad_mask)
+            samp_row = BatchedSampling(
+                temperature=jnp.asarray(t_temp, jnp.float32)[None],
+                top_k=jnp.asarray(t_topk, jnp.int32)[None],
+                top_p=jnp.asarray(t_topp, jnp.float32)[None],
+                repetition_penalty=jnp.asarray(t_rep, jnp.float32)[None])
+            samp = BatchedSampling(
+                temperature=samp.temperature.at[slot].set(t_temp),
+                top_k=samp.top_k.at[slot].set(t_topk),
+                top_p=samp.top_p.at[slot].set(t_topp),
+                repetition_penalty=samp.repetition_penalty.at[slot].set(t_rep))
+            sub_samp = BatchedSampling(
+                temperature=sub_samp.temperature.at[slot].set(s_temp),
+                top_k=sub_samp.top_k.at[slot].set(s_topk),
+                top_p=sub_samp.top_p.at[slot].set(s_topp),
+                repetition_penalty=sub_samp.repetition_penalty.at[slot].set(
+                    s_rep))
             inv = make_inv_freq(spec.head_dim, spec.rope_theta)
             positions = jnp.maximum(jnp.cumsum(row_mask_w, axis=-1) - 1, 0)
             cos, sin = rope_cos_sin(positions, inv, embeds_w.dtype)
@@ -395,7 +481,7 @@ class ContinuousBatcher:
             new_pad_mask = pad_mask.at[slot].set(
                 (jnp.arange(s_max) >= idx - n_valid).astype(jnp.int32))
             new_trailing = trailing_buf.at[slot].set(trailing_row)
-            return new_state, new_pad_mask, new_trailing
+            return new_state, new_pad_mask, new_trailing, samp, sub_samp
 
         self._join_fns[w] = join
         return join
@@ -405,7 +491,9 @@ class ContinuousBatcher:
         cfg = self.cfg
 
         # state donated: the KV cache aliases in place across bursts instead
-        # of copying the full cache every burst (r3 profiling finding)
+        # of copying the full cache every burst (r3 profiling finding).
+        # done is returned as a standalone output so the worker can harvest
+        # burst k while burst k+1 (holding the donated state) is in flight.
         @functools.partial(jax.jit, donate_argnums=(1,))
         def burst(params, state, trailing, pad_embed, pad_mask, samp,
                   sub_samp):
@@ -417,13 +505,26 @@ class ContinuousBatcher:
                 return st, frame
             state, frames = jax.lax.scan(body, state, None,
                                          length=self.burst_frames)
-            return state, jnp.transpose(frames, (1, 0, 2))
+            return state, jnp.transpose(frames, (1, 0, 2)), state.done
 
         return burst
 
     # --------------------------------------------------------------- worker
 
+    @staticmethod
+    def _knob_vals(cfg: SamplingConfig):
+        """SamplingConfig -> the 4 traced knob scalars (greedy == top_k 1)."""
+        tk = 1 if not cfg.do_sample else cfg.top_k
+        tp = 1.0 if not cfg.do_sample else cfg.top_p
+        tmp = 1.0 if not cfg.do_sample else cfg.temperature
+        return (np.float32(tmp), np.int32(tk), np.float32(tp),
+                np.float32(cfg.repetition_penalty))
+
     def _admit(self):
+        """Admission: exactly ONE device dispatch per join (the folded join
+        program); all shaping happens on the caller thread (_prep_request)
+        and the shared write index is mirrored on host (`_host_index`), so
+        the worker never blocks on a device scalar fetch."""
         decode_room = self.cache_len - 2 * self.burst_frames
         while (len(self._active) < self.capacity
                # the backlog is bounded too: stop pulling from the (bounded)
@@ -431,7 +532,7 @@ class ContinuousBatcher:
                # in-flight work stays <= capacity + backlog + max_queue
                and (self._backlog or (not self._queue.empty()
                                       and len(self._backlog) < self.capacity))
-               and int(self.state.cache.index) < decode_room):
+               and self._host_index < decode_room):
             req = self._backlog.pop(0) if self._backlog else self._queue.get()
             if req.deadline is not None and time.monotonic() > req.deadline:
                 err = TimeoutError(
@@ -444,69 +545,41 @@ class ContinuousBatcher:
                 else:
                     req.future.set_exception(err)
                 continue
-            p = req.prompt
-            t_p = p.inputs_embeds.shape[1]
-            if t_p >= decode_room:
-                req.future.set_exception(ValueError(
-                    f"prompt length {t_p} does not fit cache_len "
-                    f"{self.cache_len} (need < {decode_room})"))
-                continue
-            # cap the bucket at the decode-room bound so near-limit prompts
-            # still get a (one-off-shape) window instead of waiting forever
-            w = min(self._bucket(t_p), decode_room)
-            idx = int(self.state.cache.index)
-            if w > idx:
-                # a w-wide window must fit left of the index: advance it.
-                # With live slots this inserts unwritten gap columns — mark
-                # them invalid for every row so decode never attends them.
+            if req.embeds_w is None and req.prompt is not None:
+                self._prep_request(req)  # directly-built request (dryrun)
+            if req.prompt is None:
+                continue  # rejected at prep; error already delivered
+            w = req.w
+            idx = self._host_index
+            advance = max(w - idx, 0)
+            if advance:
+                # a w-wide window must fit left of the index: advance it
+                # (gap columns are invalidated inside the join program).
                 if self._active and w > idx + 64:
                     # too disruptive mid-batch: defer until the batch drains
                     self._backlog.append(req)
                     break
-                needed = w - idx
-                self.state = self.state._replace(
-                    cache=self.state.cache._replace(
-                        index=self.state.cache.index + needed))
-                self.pad_mask = self.pad_mask.at[:, idx:idx + needed].set(0)
-                idx += needed
             free = [s for s in range(self.capacity) if s not in self._active]
             slot = free[0]
-            n_valid = int(p.attention_mask.sum())
-            embeds_w = jnp.zeros((1, w, self.cfg.hidden_size), self.dtype)
-            embeds_w = embeds_w.at[:, w - t_p:].set(p.inputs_embeds.astype(self.dtype))
-            row_mask_w = jnp.zeros((1, w), jnp.int32)
-            row_mask_w = row_mask_w.at[:, w - n_valid:].set(1)
-            trailing_row = jnp.zeros((self.trailing_cap, self.cfg.hidden_size),
-                                     self.dtype)
-            t_tr = p.trailing_text_hidden.shape[1]  # <= trailing_cap (submit checks)
-            trailing_row = trailing_row.at[:t_tr].set(
-                p.trailing_text_hidden[0, :t_tr].astype(self.dtype))
-            # pad-embed fill beyond the real trailing text
-            trailing_row = trailing_row.at[t_tr:].set(
-                jnp.broadcast_to(p.tts_pad_embed.astype(self.dtype),
-                                 (self.trailing_cap - t_tr,
-                                  self.cfg.hidden_size))[0:self.trailing_cap - t_tr])
             # tts_pad_embed is a model constant (same row of codec_embedding
             # for every request), so the batch-global assignment is safe
-            self.pad_embed = p.tts_pad_embed.astype(self.dtype)
-            self.samp = self.samp.row(slot, req.sampling)
-            self.sub_samp = self.sub_samp.row(slot, req.sub_sampling)
-
+            self.pad_embed = req.pad_np
             key = jax.random.PRNGKey(np.random.randint(0, 2**31))
-            samp_row = BatchedSampling(
-                temperature=self.samp.temperature[slot][None],
-                top_k=self.samp.top_k[slot][None],
-                top_p=self.samp.top_p[slot][None],
-                repetition_penalty=self.samp.repetition_penalty[slot][None])
-            self.state, self.pad_mask, self.trailing = self._join_fn(w)(
+            (self.state, self.pad_mask, self.trailing, self.samp,
+             self.sub_samp) = self._join_fn(w)(
                 self.model.talker_params, self.state, self.pad_mask,
-                self.trailing, embeds_w, row_mask_w, trailing_row,
-                self.pad_embed, slot, key, samp_row)
+                self.trailing, self.samp, self.sub_samp,
+                req.embeds_w, req.row_mask_w, req.trailing_row,
+                np.int32(slot), np.int32(advance), key,
+                *self._knob_vals(req.sampling),
+                *self._knob_vals(req.sub_sampling))
+            self._host_index += advance
             req.slot = slot
             self._active[slot] = req
 
-    def _harvest(self, frames: np.ndarray):
-        done = np.asarray(self.state.done)
+    def _harvest(self, frames: np.ndarray, done: np.ndarray | None = None):
+        if done is None:  # non-pipelined callers (tests)
+            done = np.asarray(self.state.done)
         finished = []
         for slot, req in list(self._active.items()):
             fr = frames[slot]  # (burst, groups)
@@ -520,24 +593,35 @@ class ContinuousBatcher:
                 req.stream_q.put(fr[: len(fr) - over])  # emit while batched
             if bool(done[slot]) or eos.any() or total >= req.max_frames:
                 finished.append(slot)
-        for slot in finished:
-            req = self._active.pop(slot)
+        if finished:
+            # ONE batched done-update (per-slot .at[].set calls were one
+            # device dispatch each over the RPC tunnel); applied to the
+            # possibly-in-flight state, i.e. before the next-next burst
+            fin = np.zeros((self.capacity,), bool)
+            fin[finished] = True
             self.state = self.state._replace(
-                done=self.state.done.at[slot].set(True))
-            if req.stream_q is not None:
-                req.stream_q.put(None)  # end-of-stream sentinel
-                req.future.set_result(None)
-                continue
-            codes = np.concatenate(req.frames) if req.frames else \
-                np.zeros((0, self.cfg.num_code_groups), np.int64)
-            codes = codes[: req.max_frames].astype(np.int64)
-            if self._vocoder_thread.is_alive():
-                # batched off-thread vocode: the decode worker moves straight
-                # to the next burst instead of stalling on the vocoder
-                self._vocode_q.put((req, codes))
-            else:
-                # deterministic single-thread mode (tests, dryrun)
-                self._vocode_requests([(req, codes)])
+                done=jnp.logical_or(self.state.done, jnp.asarray(fin)))
+        for slot in finished:
+            self._finish_request(slot)
+
+    def _finish_request(self, slot: int):
+        """Resolve one active request from its harvested frames (also used
+        for clean truncation on cache exhaustion)."""
+        req = self._active.pop(slot)
+        if req.stream_q is not None:
+            req.stream_q.put(None)  # end-of-stream sentinel
+            req.future.set_result(None)
+            return
+        codes = np.concatenate(req.frames) if req.frames else \
+            np.zeros((0, self.cfg.num_code_groups), np.int64)
+        codes = codes[: req.max_frames].astype(np.int64)
+        if self._vocoder_thread.is_alive():
+            # batched off-thread vocode: the decode worker moves straight
+            # to the next burst instead of stalling on the vocoder
+            self._vocode_q.put((req, codes))
+        else:
+            # deterministic single-thread mode (tests, dryrun)
+            self._vocode_requests([(req, codes)])
 
     # ------------------------------------------------------------- vocoding
 
@@ -605,10 +689,21 @@ class ContinuousBatcher:
     def _run(self):
         # worker-loop phase accounting (observability + perf reconciliation:
         # where serving wall-clock goes — admission prefills, burst
-        # dispatch, the device sync on the burst result, host harvest)
+        # dispatch, the device sync on the burst result, host harvest).
+        #
+        # PIPELINED (r5): the worker dispatches burst k+1 BEFORE harvesting
+        # burst k, so the device always has the next burst queued while the
+        # host does bookkeeping — without this, every burst paid the RPC
+        # dispatch floor (25-100 ms) as device idle. Burst k's frames and
+        # done flags are standalone outputs, safe to fetch while state k is
+        # already donated into burst k+1. Consequences: a slot freed by
+        # harvest k is reused only at the next admit (one-burst lag), and a
+        # max-frames-terminated slot decodes one extra burst of ignored
+        # frames.
         st = self.stats = {"admit_s": 0.0, "dispatch_s": 0.0, "sync_s": 0.0,
                            "harvest_s": 0.0, "idle_s": 0.0, "bursts": 0,
                            "frames": 0, "admitted": 0}
+        prev = None  # (frames_dev, done_dev, n_active_at_dispatch)
         while not self._stop:
             t0 = time.perf_counter()
             with self._lock:
@@ -617,27 +712,42 @@ class ContinuousBatcher:
                 st["admitted"] += len(self._active) - n_before
             t1 = time.perf_counter()
             st["admit_s"] += t1 - t0
-            if not self._active:
-                if int(self.state.cache.index) > 1:
-                    self._reset_state()
-                self._wake.wait(timeout=0.1)
-                self._wake.clear()
-                st["idle_s"] += time.perf_counter() - t1
-                continue
-            self.state, frames = self._burst_fn(
-                self.model.talker_params, self.state, self.trailing,
-                self.pad_embed, self.pad_mask, self.samp, self.sub_samp)
+            dispatched = False
+            if self._active:
+                self.state, frames_dev, done_dev = self._burst_fn(
+                    self.model.talker_params, self.state, self.trailing,
+                    self.pad_embed, self.pad_mask, self.samp, self.sub_samp)
+                self._host_index += self.burst_frames
+                nxt = (frames_dev, done_dev, len(self._active))
+                dispatched = True
             t2 = time.perf_counter()
-            n_act = len(self._active)
-            frames_host = np.asarray(frames)  # device sync point
-            t3 = time.perf_counter()
-            self._harvest(frames_host)
-            t4 = time.perf_counter()
             st["dispatch_s"] += t2 - t1
-            st["sync_s"] += t3 - t2
-            st["harvest_s"] += t4 - t3
-            st["bursts"] += 1
-            st["frames"] += n_act * self.burst_frames
-            if (int(self.state.cache.index) >= self.cache_len - self.burst_frames - 1
-                    and not self._active):
+            if prev is not None:
+                frames_host = np.asarray(prev[0])  # sync on burst k only
+                done_host = np.asarray(prev[1])
+                t3 = time.perf_counter()
+                st["sync_s"] += t3 - t2
+                self._harvest(frames_host, done_host)
+                st["harvest_s"] += time.perf_counter() - t3
+                st["bursts"] += 1
+                st["frames"] += prev[2] * self.burst_frames
+            prev = nxt if dispatched else None
+            if not dispatched:
+                t4 = time.perf_counter()
+                if not self._active:
+                    if self._host_index > 1:
+                        self._reset_state()
+                    self._wake.wait(timeout=0.1)
+                    self._wake.clear()
+                st["idle_s"] += time.perf_counter() - t4
+                continue
+            if self._host_index >= self.cache_len - self.burst_frames - 1:
+                # cache exhausted: finish any still-active requests with the
+                # frames they have (clean truncation — continuing would
+                # clamp KV writes at the last column and emit garbage),
+                # drop the in-flight burst, start a fresh batch
+                if self._active:
+                    for slot in list(self._active):
+                        self._finish_request(slot)
+                prev = None
                 self._reset_state()
