@@ -526,6 +526,11 @@ class ContinuousBatcher:
         and the shared write index is mirrored on host (`_host_index`), so
         the worker never blocks on a device scalar fetch."""
         decode_room = self.cache_len - 2 * self.burst_frames
+        if (not self._active and self._host_index > 1
+                and (self._backlog or not self._queue.empty())):
+            # drained with work waiting: reset so joins start fresh instead
+            # of being deferred (or truncated) against a spent cache
+            self._reset_state()
         while (len(self._active) < self.capacity
                # the backlog is bounded too: stop pulling from the (bounded)
                # queue when it holds a full batch of deferred joins, so total
@@ -559,6 +564,19 @@ class ContinuousBatcher:
                     # too disruptive mid-batch: defer until the batch drains
                     self._backlog.append(req)
                     break
+            # admission gating on cache room: admit only if the request's
+            # full frame budget fits before the cache end — otherwise it
+            # would be truncated mid-utterance when the index runs out
+            # (the exhaustion backstop below). Deferred joins wait for the
+            # batch to drain and the cache to reset. Requests too long for
+            # even a FRESH cache are admitted immediately and truncate at
+            # the end (graceful degradation for max_frames > cache_len).
+            end_need = idx + advance + req.max_frames + 2 * self.burst_frames
+            fits_fresh = (w + req.max_frames + 2 * self.burst_frames
+                          <= self.cache_len)
+            if end_need > self.cache_len and fits_fresh and self._active:
+                self._backlog.append(req)
+                break
             free = [s for s in range(self.capacity) if s not in self._active]
             slot = free[0]
             # tts_pad_embed is a model constant (same row of codec_embedding
@@ -577,11 +595,20 @@ class ContinuousBatcher:
             req.slot = slot
             self._active[slot] = req
 
-    def _harvest(self, frames: np.ndarray, done: np.ndarray | None = None):
+    def _harvest(self, frames: np.ndarray, done: np.ndarray | None = None,
+                 snapshot: dict | None = None):
+        """snapshot: slot->request map captured when this burst was
+        DISPATCHED (pipelined worker). Slots whose occupant changed since —
+        the old request finished at the previous harvest and a new one
+        joined — are skipped: this burst's rows describe the old one."""
         if done is None:  # non-pipelined callers (tests)
             done = np.asarray(self.state.done)
+        if snapshot is None:
+            snapshot = dict(self._active)
         finished = []
-        for slot, req in list(self._active.items()):
+        for slot, req in list(snapshot.items()):
+            if self._active.get(slot) is not req:
+                continue  # slot re-admitted after this burst was dispatched
             fr = frames[slot]  # (burst, groups)
             eos = fr[:, 0] == self.cfg.codec_eos_token_id
             if eos.any():
@@ -718,7 +745,13 @@ class ContinuousBatcher:
                     self.model.talker_params, self.state, self.trailing,
                     self.pad_embed, self.pad_mask, self.samp, self.sub_samp)
                 self._host_index += self.burst_frames
-                nxt = (frames_dev, done_dev, len(self._active))
+                # snapshot slot->request AT DISPATCH: by harvest time a slot
+                # may already hold a newer request (joined between dispatch
+                # and harvest), whose frames/done flags this burst does NOT
+                # describe — harvesting against live _active attributed the
+                # previous occupant's done=True to the new request and
+                # finished it at ~1 burst of frames (r5 measurement bug)
+                nxt = (frames_dev, done_dev, dict(self._active))
                 dispatched = True
             t2 = time.perf_counter()
             st["dispatch_s"] += t2 - t1
@@ -727,10 +760,10 @@ class ContinuousBatcher:
                 done_host = np.asarray(prev[1])
                 t3 = time.perf_counter()
                 st["sync_s"] += t3 - t2
-                self._harvest(frames_host, done_host)
+                self._harvest(frames_host, done_host, prev[2])
                 st["harvest_s"] += time.perf_counter() - t3
                 st["bursts"] += 1
-                st["frames"] += prev[2] * self.burst_frames
+                st["frames"] += len(prev[2]) * self.burst_frames
             prev = nxt if dispatched else None
             if not dispatched:
                 t4 = time.perf_counter()

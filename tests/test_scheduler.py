@@ -49,6 +49,26 @@ def test_batch_then_drain_then_new(batcher):
     assert wav.ndim == 1
 
 
+def test_slot_reuse_delivers_full_frames(batcher):
+    """Pipelined-worker regression (r5): with more requests than capacity,
+    freed slots are reused while the next burst is in flight — a request
+    must never be finished early off its slot's PREVIOUS occupant's done
+    flag. Every request must deliver max_frames frames unless its own
+    stream hit EOS."""
+    n, mf = 9, 17  # 3x capacity, max_frames not a burst multiple
+    futs = [batcher.submit(f"slot reuse {i}", speaker="vivian",
+                           language="english", max_frames=mf)
+            for i in range(n)]
+    for f in futs:
+        f.result(timeout=600)
+    eos = batcher.cfg.codec_eos_token_id
+    for f in futs:
+        frames = np.concatenate(f.request.frames)
+        hit_eos = bool((frames[:, 0] == eos).any())
+        assert hit_eos or len(frames) >= mf, \
+            f"request finished early: {len(frames)} frames, no EOS"
+
+
 def test_overload_sheds_at_submit(batcher):
     """Bounded admission (r4 verdict weak #5): beyond max_queue,
     submit(block=False) raises BatcherOverloaded instead of growing the
