@@ -157,15 +157,21 @@ def warm(batcher, model, max_frames: int, text: str):
                          max_frames=min(max_frames, 2 * batcher.burst_frames))
     fut.result(timeout=3600)
     log(f"warmup request done in {time.time() - t0:.1f}s")
-    # vocoder row buckets at the production time shape (t_pad = bucketed
-    # max_frames): warm each bucket once
-    t_pad = -(-max_frames // 75) * 75
+    # vocoder shape grid: EVERY (row bucket) x (75-frame time bucket up to
+    # max_frames) the measurement can produce — EOS-shortened requests land
+    # in the shorter time buckets, and an unwarmed shape is a multi-minute
+    # cold compile inside the vocoder thread mid-measurement (r5 run 5:
+    # 104 s of worker idle was exactly this). One-time: .jax_cache persists.
+    t_max = -(-max_frames // 75) * 75
     k = model.config.talker.num_code_groups
     for rows in batcher._ROW_BUCKETS:
-        t0 = time.time()
-        codes = [np.ones((t_pad, k), np.int64) for _ in range(rows)]
-        model.speech_tokenizer.decode([{"audio_codes": c} for c in codes])
-        log(f"warm vocoder rows={rows} t={t_pad}: {time.time() - t0:.1f}s")
+        for t_pad in range(75, t_max + 1, 75):
+            t0 = time.time()
+            codes = [np.ones((t_pad, k), np.int64) for _ in range(rows)]
+            model.speech_tokenizer.decode([{"audio_codes": c} for c in codes])
+            dt = time.time() - t0
+            if dt > 2:
+                log(f"warm vocoder rows={rows} t={t_pad}: {dt:.1f}s")
     # one unloaded stream: compiles the incremental chunk-vocode shapes
     # (ctx+4 ... ctx+29) phase B's first-packet numbers would otherwise eat
     t0 = time.time()
@@ -177,7 +183,8 @@ def warm(batcher, model, max_frames: int, text: str):
     log(f"warm stream done in {time.time() - t0:.1f}s")
 
 
-def phase_a(batcher, n_requests: int, max_frames: int, text: str):
+def phase_a(batcher, n_requests: int, max_frames: int, text: str,
+            mixed: bool = False):
     """Offline throughput through the saturated batch.
 
     Audio accounting: delivered FRAMES / 12.5 (via fut.request.frames), not
@@ -195,18 +202,38 @@ def phase_a(batcher, n_requests: int, max_frames: int, text: str):
             done_t.append(time.perf_counter())
             latencies.append(time.perf_counter() - t_submit)
 
-    futs = []
-    for i in range(n_requests):
+    # submit from a CLIENT POOL: one submitter thread per ~8 requests (16
+    # max). Serial submission bottlenecked the measurement — each submit
+    # pays prompt assembly (device ops + one host fetch, ~0.5 s over the
+    # RPC tunnel), so 120 serial submits trickled in slower than the batch
+    # drained and occupancy never passed ~9/80 slots (r5 run 3).
+    from concurrent.futures import ThreadPoolExecutor
+
+    futs = [None] * n_requests
+
+    def mf(i):
+        if not mixed:
+            return max_frames
+        # deterministic spread over [0.6, 1.16]x max_frames: de-correlates
+        # finishes (uniform lengths make adversarial waves: every slot
+        # drains at once, then the batch refills from empty)
+        return int(max_frames * 0.6) + (i * 61) % (max_frames // 2 + 1)
+
+    def submit_one(i):
         t_submit = time.perf_counter()
         fut = batcher.submit(f"{text} variant {i}", speaker="vivian",
-                             language="english", max_frames=max_frames)
+                             language="english", max_frames=mf(i))
         fut.add_done_callback(lambda f, ts=t_submit: cb(f, ts))
-        futs.append(fut)
+        futs[i] = fut
+
+    with ThreadPoolExecutor(max_workers=min(16, max(n_requests // 8, 1))) \
+            as pool:
+        list(pool.map(submit_one, range(n_requests)))
     for f in futs:
         f.result(timeout=7200)
     wall = max(done_t) - t0
     delivered_frames = sum(
-        min(sum(len(fr) for fr in f.request.frames), max_frames)
+        min(sum(len(fr) for fr in f.request.frames), f.request.max_frames)
         for f in futs)
     total_audio = delivered_frames / 12.5
     lat = sorted(latencies)
@@ -237,9 +264,14 @@ def phase_a(batcher, n_requests: int, max_frames: int, text: str):
 def phase_b(batcher, n_streams: int, bg_requests: int, max_frames: int,
             text: str):
     """submit_stream join-to-first-audio under load (r4 verdict weak #6)."""
-    bg = [batcher.submit(f"{text} background {i}", speaker="vivian",
-                         language="english", max_frames=max_frames)
-          for i in range(bg_requests)]
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=16) as pool:
+        bg = list(pool.map(
+            lambda i: batcher.submit(f"{text} background {i}",
+                                     speaker="vivian", language="english",
+                                     max_frames=max_frames),
+            range(bg_requests)))
     time.sleep(1.0)  # let the batch saturate
     first_ms = []
     for i in range(n_streams):
@@ -278,6 +310,10 @@ def main():
     ap.add_argument("--no-cp-kernel", action="store_true")
     ap.add_argument("--kv", default="int8", choices=("int8", "bf16"))
     ap.add_argument("--warm-only", action="store_true")
+    ap.add_argument("--depth", type=int, default=1,
+                    help="batcher pipeline depth (bursts kept in flight)")
+    ap.add_argument("--mixed", action="store_true",
+                    help="spread request lengths over [0.6, 1.16]x max-frames")
     ap.add_argument("--skip-streams", action="store_true")
     args = ap.parse_args()
 
@@ -290,7 +326,7 @@ def main():
         model, capacity=args.capacity, cache_len=args.cache_len,
         burst_frames=args.burst,
         kv_cache_dtype=None if args.kv == "bf16" else "int8",
-        max_queue=4 * args.capacity,
+        max_queue=4 * args.capacity, pipeline_depth=args.depth,
         # 16-row vocode batches: the b>=8 vocoder is within ~7% of its
         # saturated rate while halving the ~6.6 GB 32-row intermediates —
         # the b=80 int8-KV cache (4.7 GB) + weights already hold ~7 GB
@@ -298,14 +334,18 @@ def main():
     text = ("The quick brown fox jumps over the lazy dog while the river "
             "keeps flowing north past the old stone bridge.")
     try:
-        warm(batcher, model, args.max_frames, text)
+        warm_max = (int(args.max_frames * 0.6) + args.max_frames // 2
+                    if args.mixed else args.max_frames)
+        warm(batcher, model, warm_max, text)
         if args.warm_only:
             print(json.dumps({"phase": "warm_only", "device": dev}), flush=True)
             return
         log(f"phase A: {args.requests} requests x {args.max_frames} frames, "
             f"capacity {args.capacity}")
-        a = phase_a(batcher, args.requests, args.max_frames, text)
+        a = phase_a(batcher, args.requests, args.max_frames, text,
+                    mixed=args.mixed)
         a.update({"phase": "A_offline_throughput", "device": dev,
+                  "mixed": args.mixed, "depth": args.depth,
                   "capacity": args.capacity, "burst": args.burst,
                   "kv": args.kv, "talker": args.talker,
                   "cp_kernel": not args.no_cp_kernel})

@@ -76,7 +76,8 @@ class ContinuousBatcher:
                  sampling: Optional[SamplingConfig] = None,
                  sub_sampling: Optional[SamplingConfig] = None,
                  kv_cache_dtype=None, max_queue: Optional[int] = None,
-                 vocode_batch: int = 32, _start_thread: bool = True):
+                 vocode_batch: int = 32, pipeline_depth: int = 1,
+                 _start_thread: bool = True):
         self.model = model
         self.cfg = model.config.talker
         self.spec = talker_spec(self.cfg)
@@ -112,6 +113,11 @@ class ContinuousBatcher:
         # finished requests vocode on a separate thread, in padded BATCHES
         # (b=1 vocoding is ~3x slower per audio-second than b=32, BENCH r4),
         # so the decode worker never stalls on the vocoder between bursts
+        # bursts kept in flight before harvesting the oldest (>=1). Depth 2
+        # hides a full result round trip per cycle on high-latency links
+        # (the RPC-tunneled TPU pays 25-100 ms per fetch) at the cost of
+        # one more burst of admission/EOS lag.
+        self.pipeline_depth = max(int(pipeline_depth), 1)
         self.vocode_batch = vocode_batch
         self._vocode_q: "queue.Queue" = queue.Queue()
         self._vocoder_thread = threading.Thread(target=self._vocode_worker,
@@ -730,7 +736,20 @@ class ContinuousBatcher:
         st = self.stats = {"admit_s": 0.0, "dispatch_s": 0.0, "sync_s": 0.0,
                            "harvest_s": 0.0, "idle_s": 0.0, "bursts": 0,
                            "frames": 0, "admitted": 0}
-        prev = None  # (frames_dev, done_dev, n_active_at_dispatch)
+        pending: list = []  # (frames_dev, done_dev, slot_snapshot) FIFO
+
+        def harvest_oldest():
+            frames_dev, done_dev, snapshot = pending.pop(0)
+            t_s = time.perf_counter()
+            frames_host = np.asarray(frames_dev)  # sync on that burst only
+            done_host = np.asarray(done_dev)
+            t_h = time.perf_counter()
+            st["sync_s"] += t_h - t_s
+            self._harvest(frames_host, done_host, snapshot)
+            st["harvest_s"] += time.perf_counter() - t_h
+            st["bursts"] += 1
+            st["frames"] += len(snapshot) * self.burst_frames
+
         while not self._stop:
             t0 = time.perf_counter()
             with self._lock:
@@ -751,20 +770,11 @@ class ContinuousBatcher:
                 # describe — harvesting against live _active attributed the
                 # previous occupant's done=True to the new request and
                 # finished it at ~1 burst of frames (r5 measurement bug)
-                nxt = (frames_dev, done_dev, dict(self._active))
+                pending.append((frames_dev, done_dev, dict(self._active)))
                 dispatched = True
-            t2 = time.perf_counter()
-            st["dispatch_s"] += t2 - t1
-            if prev is not None:
-                frames_host = np.asarray(prev[0])  # sync on burst k only
-                done_host = np.asarray(prev[1])
-                t3 = time.perf_counter()
-                st["sync_s"] += t3 - t2
-                self._harvest(frames_host, done_host, prev[2])
-                st["harvest_s"] += time.perf_counter() - t3
-                st["bursts"] += 1
-                st["frames"] += len(prev[2]) * self.burst_frames
-            prev = nxt if dispatched else None
+            st["dispatch_s"] += time.perf_counter() - t1
+            while len(pending) > (self.pipeline_depth if dispatched else 0):
+                harvest_oldest()
             if not dispatched:
                 t4 = time.perf_counter()
                 if not self._active:
@@ -778,9 +788,9 @@ class ContinuousBatcher:
                 # cache exhausted: finish any still-active requests with the
                 # frames they have (clean truncation — continuing would
                 # clamp KV writes at the last column and emit garbage),
-                # drop the in-flight burst, start a fresh batch
+                # drop the in-flight bursts, start a fresh batch
                 if self._active:
                     for slot in list(self._active):
                         self._finish_request(slot)
-                prev = None
+                pending.clear()
                 self._reset_state()
