@@ -376,79 +376,82 @@ class ContinuousBatcher:
             w *= 2
         return min(w, self.cache_len)
 
-    def _join_fn(self, w: int):
-        """Per-window-width jitted join program (compiled once per bucket)."""
-        if w in self._join_fns:
-            return self._join_fns[w]
+    def _join_fn(self, w: int, k: int = 1):
+        """Jitted join program per (window width, group size) bucket.
+
+        Admits K requests in ONE program execution: depth-pipelining cannot
+        hide per-program runtime overhead because it serializes on the
+        device queue (r5 depth sweep: no gain at depth 2/3), so the win is
+        fewer programs — grouped admissions cut join program count ~K-fold.
+        Padding rows (group smaller than the K bucket) REPLICATE the last
+        request — every write is idempotent (same slot, same values, same
+        fold_in(key, slot) sample), so duplicates are harmless."""
+        if (w, k) in self._join_fns:
+            return self._join_fns[(w, k)]
         spec, cfg = self.spec, self.cfg
         s_max = self.cache_len
-        # opt-in like generate_frames: XLA's masked path wins at these widths
-        use_flash = False
 
         @functools.partial(jax.jit, donate_argnums=(1, 2, 3, 4, 5))
         def join(params, state: TalkerState, pad_mask, trailing_buf,
                  samp: BatchedSampling, sub_samp: BatchedSampling,
-                 embeds_w, row_mask_w, trailing_row, slot, advance, key,
-                 t_temp, t_topk, t_topp, t_rep, s_temp, s_topk, s_topp,
-                 s_rep):
-            """Prefill one request over a w-wide window ending exactly at
-            the (advanced) shared index, install its KV rows into `slot`.
-
-            ONE dispatch per admission: the index advance + gap-column
-            invalidation, the per-slot sampling-knob updates (talker AND
-            sub-talker), and the first-token sample are all folded in —
-            they used to be ~10 separate device ops per join, each paying
-            the RPC tunnel's 25-100 ms dispatch floor (45% of serving
-            wall-clock, serve_measure r5)."""
+                 embeds, row_mask, trailing_rows, slots, advance, key,
+                 knobs):
+            """embeds (K,w,H), row_mask (K,w), trailing_rows (K,cap,H),
+            slots (K,), knobs (8,K): talker temp/top_k/top_p/rep then the
+            sub-talker four. Prefills the K windows (all ending at the
+            advanced shared index) and installs their KV rows, sampling
+            knobs, and first tokens — one dispatch for the whole group
+            (index advance + gap invalidation folded in too)."""
             idx0 = state.cache.index
             state = state._replace(cache=state.cache._replace(
                 index=idx0 + advance))
             col = jnp.arange(s_max)
             gap = (col >= idx0) & (col < idx0 + advance)
             pad_mask = jnp.where(gap[None, :], 0, pad_mask)
-            samp_row = BatchedSampling(
-                temperature=jnp.asarray(t_temp, jnp.float32)[None],
-                top_k=jnp.asarray(t_topk, jnp.int32)[None],
-                top_p=jnp.asarray(t_topp, jnp.float32)[None],
-                repetition_penalty=jnp.asarray(t_rep, jnp.float32)[None])
+            t_topk = knobs[1].astype(jnp.int32)
+            s_topk = knobs[5].astype(jnp.int32)
+            group_samp = BatchedSampling(
+                temperature=knobs[0], top_k=t_topk, top_p=knobs[2],
+                repetition_penalty=knobs[3])
             samp = BatchedSampling(
-                temperature=samp.temperature.at[slot].set(t_temp),
-                top_k=samp.top_k.at[slot].set(t_topk),
-                top_p=samp.top_p.at[slot].set(t_topp),
-                repetition_penalty=samp.repetition_penalty.at[slot].set(t_rep))
+                temperature=samp.temperature.at[slots].set(knobs[0]),
+                top_k=samp.top_k.at[slots].set(t_topk),
+                top_p=samp.top_p.at[slots].set(knobs[2]),
+                repetition_penalty=samp.repetition_penalty.at[slots].set(
+                    knobs[3]))
             sub_samp = BatchedSampling(
-                temperature=sub_samp.temperature.at[slot].set(s_temp),
-                top_k=sub_samp.top_k.at[slot].set(s_topk),
-                top_p=sub_samp.top_p.at[slot].set(s_topp),
-                repetition_penalty=sub_samp.repetition_penalty.at[slot].set(
-                    s_rep))
+                temperature=sub_samp.temperature.at[slots].set(knobs[4]),
+                top_k=sub_samp.top_k.at[slots].set(s_topk),
+                top_p=sub_samp.top_p.at[slots].set(knobs[6]),
+                repetition_penalty=sub_samp.repetition_penalty.at[slots].set(
+                    knobs[7]))
             inv = make_inv_freq(spec.head_dim, spec.rope_theta)
-            positions = jnp.maximum(jnp.cumsum(row_mask_w, axis=-1) - 1, 0)
-            cos, sin = rope_cos_sin(positions, inv, embeds_w.dtype)
-            row_cache = KVCache.create(spec.num_layers, 1, w,
+            positions = jnp.maximum(jnp.cumsum(row_mask, axis=-1) - 1, 0)
+            cos, sin = rope_cos_sin(positions, inv, embeds.dtype)
+            row_cache = KVCache.create(spec.num_layers, k, w,
                                        spec.num_kv_heads, spec.head_dim,
                                        dtype=self.dtype)
-            if use_flash:
-                h, row_cache = stack_forward(spec, params["layers"], embeds_w,
-                                             cos, sin, None, row_cache,
-                                             flash_pad_mask=row_mask_w)
-            else:
-                mask = cache_attention_mask(row_mask_w, w, row_cache.index, w,
-                                            spec.sliding_window)
-                h, row_cache = stack_forward(spec, params["layers"], embeds_w,
-                                             cos, sin, mask, row_cache)
+            mask = cache_attention_mask(row_mask, w, row_cache.index, w,
+                                        spec.sliding_window)
+            h, row_cache = stack_forward(spec, params["layers"], embeds,
+                                         cos, sin, mask, row_cache)
             idx = state.cache.index
-            last_h = h[0, -1]  # window ends at the shared index
+            last_h = h[:, -1]  # (K, H): every window ends at the index
             from ..models.talker import _head
 
-            logits = _head(params, "codec_head", last_h[None]).astype(jnp.float32)
-            seen_row = jnp.zeros((1, cfg.vocab_size), bool)
-            key, sub = jax.random.split(key)
-            proc = process_logits(logits, samp_row, seen_row, self.suppress,
-                                  cfg.codec_eos_token_id, jnp.ones((1,), bool))
-            token0 = sample_token(sub, proc, True)[0]
+            logits = _head(params, "codec_head", last_h).astype(jnp.float32)
+            seen_rows = jnp.zeros((k, cfg.vocab_size), bool)
+            proc = process_logits(logits, group_samp, seen_rows,
+                                  self.suppress, cfg.codec_eos_token_id,
+                                  jnp.ones((k,), bool))
+            # per-row keys fold in the SLOT id: padding duplicates share a
+            # slot, therefore a key, therefore sample the same token
+            row_keys = jax.vmap(lambda sl: jax.random.fold_in(key, sl))(slots)
+            token0 = jax.vmap(
+                lambda rk, lg: sample_token(rk, lg[None], True)[0]
+            )(row_keys, proc)
 
-            n_valid = jnp.sum(row_mask_w)
+            n_valid = jnp.sum(row_mask, axis=-1)          # (K,)
             start = idx - w  # guaranteed >= 0 by admission (index advance)
             new_cache = state.cache
             if state.cache.quantized:
@@ -459,37 +462,43 @@ class ContinuousBatcher:
 
                 k_q, k_sc = quantize_kv(row_cache.k)
                 v_q, v_sc = quantize_kv(row_cache.v)
-                new_cache = new_cache._replace(
-                    k_scale=jax.lax.dynamic_update_slice(
-                        state.cache.k_scale, k_sc, (0, slot, start, 0)),
-                    v_scale=jax.lax.dynamic_update_slice(
-                        state.cache.v_scale, v_sc, (0, slot, start, 0)))
             else:
                 k_q = row_cache.k.astype(state.cache.k.dtype)
                 v_q = row_cache.v.astype(state.cache.v.dtype)
-            new_cache = new_cache._replace(
-                k=jax.lax.dynamic_update_slice(
-                    state.cache.k, k_q, (0, slot, start, 0, 0)),
-                v=jax.lax.dynamic_update_slice(
-                    state.cache.v, v_q, (0, slot, start, 0, 0)))
+                k_sc = v_sc = None
+            for i in range(k):  # static unroll: K <= 8 slot installs
+                sl = slots[i]
+                if k_sc is not None:
+                    new_cache = new_cache._replace(
+                        k_scale=jax.lax.dynamic_update_slice(
+                            new_cache.k_scale, k_sc[:, i:i + 1],
+                            (0, sl, start, 0)),
+                        v_scale=jax.lax.dynamic_update_slice(
+                            new_cache.v_scale, v_sc[:, i:i + 1],
+                            (0, sl, start, 0)))
+                new_cache = new_cache._replace(
+                    k=jax.lax.dynamic_update_slice(
+                        new_cache.k, k_q[:, i:i + 1], (0, sl, start, 0, 0)),
+                    v=jax.lax.dynamic_update_slice(
+                        new_cache.v, v_q[:, i:i + 1], (0, sl, start, 0, 0)))
+            seen_k = seen_rows.at[jnp.arange(k), token0].set(True)
             new_state = TalkerState(
                 cache=new_cache,
-                token0=state.token0.at[slot].set(token0),
-                past_hidden=state.past_hidden.at[slot].set(last_h),
-                seen=state.seen.at[slot].set(
-                    seen_row[0].at[token0].set(True)),
-                done=state.done.at[slot].set(False),
-                key=key,
-                step=state.step.at[slot].set(0),
-                num_pads=state.num_pads.at[slot].set(
+                token0=state.token0.at[slots].set(token0),
+                past_hidden=state.past_hidden.at[slots].set(last_h),
+                seen=state.seen.at[slots].set(seen_k),
+                done=state.done.at[slots].set(jnp.zeros((k,), bool)),
+                key=jax.random.split(key)[0],
+                step=state.step.at[slots].set(jnp.zeros((k,), jnp.int32)),
+                num_pads=state.num_pads.at[slots].set(
                     (idx - n_valid).astype(jnp.int32)),
             )
-            new_pad_mask = pad_mask.at[slot].set(
-                (jnp.arange(s_max) >= idx - n_valid).astype(jnp.int32))
-            new_trailing = trailing_buf.at[slot].set(trailing_row)
+            new_pad_mask = pad_mask.at[slots].set(
+                (col[None, :] >= (idx - n_valid)[:, None]).astype(jnp.int32))
+            new_trailing = trailing_buf.at[slots].set(trailing_rows)
             return new_state, new_pad_mask, new_trailing, samp, sub_samp
 
-        self._join_fns[w] = join
+        self._join_fns[(w, k)] = join
         return join
 
     @functools.cached_property
@@ -526,80 +535,120 @@ class ContinuousBatcher:
         return (np.float32(tmp), np.int32(tk), np.float32(tp),
                 np.float32(cfg.repetition_penalty))
 
+    _K_BUCKETS = (1, 2, 4, 8)
+
     def _admit(self):
-        """Admission: exactly ONE device dispatch per join (the folded join
-        program); all shaping happens on the caller thread (_prep_request)
-        and the shared write index is mirrored on host (`_host_index`), so
-        the worker never blocks on a device scalar fetch."""
+        """Admission: ONE device dispatch per GROUP of joins. Up to 8
+        same-width-bucket requests prefill in a single batched join program
+        (per-program runtime overhead was the dominant serving cost after
+        the single-request folding; the r5 depth sweep showed pipelining
+        cannot hide it). All shaping happens on the caller thread
+        (_prep_request) and the shared write index is mirrored on host
+        (`_host_index`), so the worker never blocks on a device fetch."""
         decode_room = self.cache_len - 2 * self.burst_frames
         if (not self._active and self._host_index > 1
                 and (self._backlog or not self._queue.empty())):
             # drained with work waiting: reset so joins start fresh instead
             # of being deferred (or truncated) against a spent cache
             self._reset_state()
-        while (len(self._active) < self.capacity
-               # the backlog is bounded too: stop pulling from the (bounded)
-               # queue when it holds a full batch of deferred joins, so total
-               # in-flight work stays <= capacity + backlog + max_queue
+        stop = False
+        while (not stop and len(self._active) < self.capacity
                and (self._backlog or (not self._queue.empty()
                                       and len(self._backlog) < self.capacity))
                and self._host_index < decode_room):
-            req = self._backlog.pop(0) if self._backlog else self._queue.get()
-            if req.deadline is not None and time.monotonic() > req.deadline:
-                err = TimeoutError(
-                    "request missed its admission deadline "
-                    "(deadline_s) while queued — shed instead of decoding "
-                    "audio nobody is waiting for")
-                if req.stream_q is not None:
-                    req.stream_q.put(err)
-                    req.future.set_result(None)
-                else:
-                    req.future.set_exception(err)
-                continue
-            if req.embeds_w is None and req.prompt is not None:
-                self._prep_request(req)  # directly-built request (dryrun)
-            if req.prompt is None:
-                continue  # rejected at prep; error already delivered
-            w = req.w
-            idx = self._host_index
-            advance = max(w - idx, 0)
-            if advance:
-                # a w-wide window must fit left of the index: advance it
-                # (gap columns are invalidated inside the join program).
-                if self._active and w > idx + 64:
-                    # too disruptive mid-batch: defer until the batch drains
-                    self._backlog.append(req)
+            group: list[_Request] = []
+            while (len(self._active) + len(group) < self.capacity
+                   and len(group) < self._K_BUCKETS[-1]
+                   # the backlog is bounded: stop pulling from the (bounded)
+                   # queue when it holds a full batch of deferred joins, so
+                   # in-flight work stays <= capacity + backlog + max_queue
+                   and (self._backlog or (not self._queue.empty()
+                                          and len(self._backlog)
+                                          < self.capacity))):
+                req = (self._backlog.pop(0) if self._backlog
+                       else self._queue.get())
+                if req.deadline is not None \
+                        and time.monotonic() > req.deadline:
+                    err = TimeoutError(
+                        "request missed its admission deadline "
+                        "(deadline_s) while queued — shed instead of "
+                        "decoding audio nobody is waiting for")
+                    if req.stream_q is not None:
+                        req.stream_q.put(err)
+                        req.future.set_result(None)
+                    else:
+                        req.future.set_exception(err)
+                    continue
+                if req.embeds_w is None and req.prompt is not None:
+                    self._prep_request(req)  # directly-built req (dryrun)
+                if req.prompt is None:
+                    continue  # rejected at prep; error already delivered
+                if group and req.w != group[0].w:
+                    # different width bucket: head of the next group
+                    self._backlog.insert(0, req)
                     break
-            # admission gating on cache room: admit only if the request's
-            # full frame budget fits before the cache end — otherwise it
-            # would be truncated mid-utterance when the index runs out
-            # (the exhaustion backstop below). Deferred joins wait for the
-            # batch to drain and the cache to reset. Requests too long for
-            # even a FRESH cache are admitted immediately and truncate at
-            # the end (graceful degradation for max_frames > cache_len).
-            end_need = idx + advance + req.max_frames + 2 * self.burst_frames
-            fits_fresh = (w + req.max_frames + 2 * self.burst_frames
-                          <= self.cache_len)
-            if end_need > self.cache_len and fits_fresh and self._active:
-                self._backlog.append(req)
+                idx = self._host_index
+                w = req.w
+                advance = max(w - idx, 0)
+                if (advance and (self._active or group)
+                        and w > idx + 64):
+                    # too disruptive mid-batch: defer until the batch drains
+                    self._backlog.insert(0, req)
+                    stop = True
+                    break
+                # admission gating on cache room: admit only if the
+                # request's full frame budget fits before the cache end —
+                # otherwise it would be truncated mid-utterance by the
+                # exhaustion backstop. Deferred joins wait for drain +
+                # reset. Requests too long for even a FRESH cache are
+                # admitted immediately and truncate at the end (graceful
+                # degradation for max_frames > cache_len).
+                end_need = (idx + advance + req.max_frames
+                            + 2 * self.burst_frames)
+                fits_fresh = (w + req.max_frames + 2 * self.burst_frames
+                              <= self.cache_len)
+                if (end_need > self.cache_len and fits_fresh
+                        and (self._active or group)):
+                    self._backlog.insert(0, req)
+                    stop = True
+                    break
+                group.append(req)
+            if not group:
                 break
-            free = [s for s in range(self.capacity) if s not in self._active]
-            slot = free[0]
-            # tts_pad_embed is a model constant (same row of codec_embedding
-            # for every request), so the batch-global assignment is safe
-            self.pad_embed = req.pad_np
-            key = jax.random.PRNGKey(np.random.randint(0, 2**31))
-            (self.state, self.pad_mask, self.trailing, self.samp,
-             self.sub_samp) = self._join_fn(w)(
-                self.model.talker_params, self.state, self.pad_mask,
-                self.trailing, self.samp, self.sub_samp,
-                req.embeds_w, req.row_mask_w, req.trailing_row,
-                np.int32(slot), np.int32(advance), key,
-                *self._knob_vals(req.sampling),
-                *self._knob_vals(req.sub_sampling))
-            self._host_index += advance
-            req.slot = slot
-            self._active[slot] = req
+            self._join_group(group)
+
+    def _join_group(self, group: list):
+        """Install a same-width group of requests via one join dispatch."""
+        k_real = len(group)
+        kb = next(k for k in self._K_BUCKETS if k >= k_real)
+        padded = group + [group[-1]] * (kb - k_real)  # idempotent duplicates
+        w = group[0].w
+        advance = max(w - self._host_index, 0)
+        free = [s for s in range(self.capacity) if s not in self._active]
+        slots_real = free[:k_real]
+        slots = np.asarray(slots_real + [slots_real[-1]] * (kb - k_real),
+                           np.int32)
+        embeds = np.concatenate([r.embeds_w for r in padded], axis=0)
+        row_mask = np.concatenate([r.row_mask_w for r in padded], axis=0)
+        trailing = np.stack([r.trailing_row for r in padded])
+        knobs = np.zeros((8, kb), np.float32)
+        for j, r in enumerate(padded):
+            knobs[:4, j] = [float(v) for v in self._knob_vals(r.sampling)]
+            knobs[4:, j] = [float(v) for v in self._knob_vals(r.sub_sampling)]
+        # tts_pad_embed is a model constant (same row of codec_embedding
+        # for every request), so the batch-global assignment is safe
+        self.pad_embed = group[-1].pad_np
+        key = jax.random.PRNGKey(np.random.randint(0, 2**31))
+        (self.state, self.pad_mask, self.trailing, self.samp,
+         self.sub_samp) = self._join_fn(w, kb)(
+            self.model.talker_params, self.state, self.pad_mask,
+            self.trailing, self.samp, self.sub_samp,
+            embeds, row_mask, trailing, slots, np.int32(advance), key,
+            knobs)
+        self._host_index += advance
+        for r, s in zip(group, slots_real):
+            r.slot = s
+            self._active[s] = r
 
     def _harvest(self, frames: np.ndarray, done: np.ndarray | None = None,
                  snapshot: dict | None = None):
