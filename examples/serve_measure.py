@@ -151,6 +151,24 @@ def warm(batcher, model, max_frames: int, text: str):
     batcher._ROW_BUCKETS = tuple(
         r for r in (1, 8, batcher.vocode_batch)
         if r <= max(batcher.capacity, 1)) or (1,)
+    # join K-bucket warm BEFORE the worker starts: each (w, K) jit pays a
+    # multi-second TRACE once per process even when the persistent compile
+    # cache hits — untraced buckets stall the worker mid-measurement
+    # (admit_s 14.3 s in the first grouped-joins run). Drive _admit
+    # manually with K queued requests so each bucket traces+loads now.
+    assert not batcher._thread.is_alive(), \
+        "warm() expects the batcher built with _start_thread=False"
+    for k in (8, 4, 2, 1):
+        t0 = time.time()
+        for i in range(k):
+            batcher.submit(f"{text} warm {k}.{i}", speaker="vivian",
+                           language="english", max_frames=4)
+        batcher._admit()
+        for slot in list(batcher._active):
+            batcher._finish_request(slot)  # inline vocode (thread unstarted)
+        log(f"warm join K={k}: {time.time() - t0:.1f}s")
+    batcher._thread.start()
+    batcher._vocoder_thread.start()
     t0 = time.time()
     log("warmup: 1 request through the batcher (join + burst + vocode)")
     fut = batcher.submit(text, speaker="vivian", language="english",
@@ -330,7 +348,8 @@ def main():
         # 16-row vocode batches: the b>=8 vocoder is within ~7% of its
         # saturated rate while halving the ~6.6 GB 32-row intermediates —
         # the b=80 int8-KV cache (4.7 GB) + weights already hold ~7 GB
-        vocode_batch=16)
+        vocode_batch=16,
+        _start_thread=False)  # warm() traces the join K-buckets first
     text = ("The quick brown fox jumps over the lazy dog while the river "
             "keeps flowing north past the old stone bridge.")
     try:
