@@ -288,7 +288,11 @@ def main():
     # rows at the 300-frame chunk (larger vocode batches OOM), and 32
     # already saturates its throughput (~646 audio_s/s).
     serve_batch = int(os.environ.get("BENCH_BATCH", "80"))
-    voc_batch = min(serve_batch, 32)
+    # vocoder sub-batch 16 (r5): throughput saturates by b=8-16 (r5 A/B:
+    # 787/1169 audio-s/s at b=8), the serving scheduler vocodes in 16-row
+    # buckets, and the b=32 f300 XLA graph with the polynomial sine
+    # rematerializes past the 15.75 GB HBM (r4 fit at 32 with builtin sin)
+    voc_batch = min(serve_batch, 16)
     full = os.environ.get("BENCH_FULL", "") == "1"
     _detail["serve_batch"] = serve_batch
     _detail["vocoder_batch"] = voc_batch
