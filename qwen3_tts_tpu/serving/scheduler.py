@@ -603,10 +603,12 @@ class ContinuousBatcher:
                 # reset. Requests too long for even a FRESH cache are
                 # admitted immediately and truncate at the end (graceful
                 # degradation for max_frames > cache_len).
-                end_need = (idx + advance + req.max_frames
-                            + 2 * self.burst_frames)
-                fits_fresh = (w + req.max_frames + 2 * self.burst_frames
-                              <= self.cache_len)
+                # slack: one burst of rounding + pipeline_depth bursts of
+                # harvest lag (a request reaches max_frames one harvested
+                # burst late) + one burst of exhaustion margin
+                slack = (3 + self.pipeline_depth) * self.burst_frames
+                end_need = idx + advance + req.max_frames + slack
+                fits_fresh = (w + req.max_frames + slack <= self.cache_len)
                 if (end_need > self.cache_len and fits_fresh
                         and (self._active or group)):
                     self._backlog.insert(0, req)

@@ -117,10 +117,16 @@ if __name__ == "__main__":
     sys.exit(pytest.main([__file__, "-q", "-x"]))
 
 
+@pytest.mark.isolate
 def test_talker_decode_step_uses_step_kernel():
     """End-to-end talker_decode_step with pack_talker_params on a
     tile-multiple talker: the step-kernel path must produce the same greedy
-    frame as the XLA path on the same int8 weights."""
+    frame as the XLA path on the same int8 weights.
+
+    isolate: production-dims interpret-mode dispatch compile — segfaults in
+    backend_compile_and_load late in a long-lived full-suite process (same
+    pathology as the q4 dispatch test, r4 verdict weak #1; reproduced here
+    in the r5 suite run)."""
     from qwen3_tts_tpu.config import CodePredictorConfig, TalkerConfig
     from qwen3_tts_tpu.models.talker import (TalkerState, fuse_talker_params,
                                              init_talker_params,
