@@ -59,6 +59,7 @@ class _Request:
     slot: int = -1
     stream_q: Optional[queue.Queue] = None  # set for streamed requests
     deadline: Optional[float] = None        # monotonic admission deadline
+    hit_eos: bool = False                   # its stream sampled codec EOS
     # caller-thread-prepared join inputs (see _prep_request)
     w: int = 0
     n_valid: int = 0
@@ -669,7 +670,8 @@ class ContinuousBatcher:
             fr = frames[slot]  # (burst, groups)
             eos = fr[:, 0] == self.cfg.codec_eos_token_id
             if eos.any():
-                fr = fr[: int(np.argmax(eos))]
+                req.hit_eos = True
+                fr = fr[: int(np.argmax(eos))]  # the EOS frame is not audio
             req.frames.append(fr)
             total = sum(len(f) for f in req.frames)
             over = max(total - req.max_frames, 0)

@@ -61,11 +61,12 @@ def test_slot_reuse_delivers_full_frames(batcher):
             for i in range(n)]
     for f in futs:
         f.result(timeout=600)
-    eos = batcher.cfg.codec_eos_token_id
     for f in futs:
-        frames = np.concatenate(f.request.frames)
-        hit_eos = bool((frames[:, 0] == eos).any())
-        assert hit_eos or len(frames) >= mf, \
+        frames = np.concatenate(f.request.frames) if f.request.frames else \
+            np.zeros((0, 16))
+        # the EOS frame is cut before frames are stored, so early-ending
+        # streams are detected via the request's hit_eos flag
+        assert f.request.hit_eos or len(frames) >= mf, \
             f"request finished early: {len(frames)} frames, no EOS"
 
 
