@@ -37,6 +37,13 @@ def main(argv=None):
     parser.add_argument("--num_epochs", type=int, default=3)
     parser.add_argument("--speaker_name", type=str, default="speaker_test")
     parser.add_argument("--new_spk_id", type=int, default=3000)
+    parser.add_argument("--pipeline_stages", type=int, default=1,
+                        help="GPipe pipeline-parallel stages over the talker "
+                             "layer stack (devices split (data, pipe); "
+                             "parallel/pipeline.py). 1 = no PP.")
+    parser.add_argument("--microbatches", type=int, default=4,
+                        help="GPipe microbatches per step when "
+                             "--pipeline_stages > 1 (must divide batch_size)")
     args = parser.parse_args(argv)
 
     from ..inference.tts_model import Qwen3TTSModel
@@ -52,8 +59,38 @@ def main(argv=None):
 
     params = model.talker_params
     optimizer = default_optimizer(args.lr)
+    pp_mesh = None
+    if args.pipeline_stages > 1:
+        from jax.sharding import Mesh
+
+        from ..parallel.pipeline import (make_train_step_pp,
+                                         pipeline_param_specs)
+        from ..parallel.sharding import shard_params
+
+        stages = args.pipeline_stages
+        devs = jax.devices()
+        dp = len(devs) // stages
+        if dp < 1:
+            raise SystemExit(f"--pipeline_stages {stages} needs >= {stages} "
+                             f"devices, have {len(devs)}")
+        if args.batch_size % args.microbatches:
+            raise SystemExit("--microbatches must divide --batch_size")
+        # the data axis shards microbatch rows; cap it at the largest count
+        # that divides them (small batches on many-device hosts)
+        mb_rows = args.batch_size // args.microbatches
+        while dp > 1 and mb_rows % dp:
+            dp -= 1
+        pp_mesh = Mesh(np.asarray(devs[: dp * stages]).reshape(dp, stages),
+                       ("data", "pipe"))
+        params = shard_params(params, pp_mesh, pipeline_param_specs(params))
+        step_fn = jax.jit(make_train_step_pp(
+            cfg.talker, optimizer, pp_mesh,
+            num_microbatches=args.microbatches,
+            data_axis="data" if dp > 1 else None), donate_argnums=(0, 1))
+    else:
+        step_fn = jax.jit(make_train_step(cfg.talker, optimizer),
+                          donate_argnums=(0, 1))
     opt_state = optimizer.init(params)
-    step_fn = jax.jit(make_train_step(cfg.talker, optimizer), donate_argnums=(0, 1))
     spk_fn = jax.jit(lambda p, m: speaker_encode(p, cfg.speaker_encoder, m))
 
     target_spk_embedding = None

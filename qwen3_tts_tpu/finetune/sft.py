@@ -49,7 +49,8 @@ def _masked_ce(logits: jax.Array, labels: jax.Array, vocab: int) -> jax.Array:
     return jnp.sum(nll * valid) / jnp.maximum(jnp.sum(valid), 1)
 
 
-def sft_loss(params: dict, cfg: TalkerConfig, batch: SFTBatch) -> jax.Array:
+def sft_loss(params: dict, cfg: TalkerConfig, batch: SFTBatch,
+             talker_stack_fn=None) -> jax.Array:
     spec = talker_spec(cfg)
     cp = cfg.code_predictor
     n_groups = cfg.num_code_groups
@@ -78,7 +79,12 @@ def sft_loss(params: dict, cfg: TalkerConfig, batch: SFTBatch) -> jax.Array:
     positions = jnp.maximum(jnp.cumsum(am, axis=-1) - 1, 0)
     cos, sin = rope_cos_sin(positions, inv, x.dtype)
     mask = make_prefill_mask(am, t - 1, spec.sliding_window)
-    h, _ = stack_forward(spec, params["layers"], x[:, :-1], cos, sin, mask, None)
+    if talker_stack_fn is None:
+        h, _ = stack_forward(spec, params["layers"], x[:, :-1], cos, sin,
+                             mask, None)
+    else:
+        # pipeline-parallel (or otherwise custom) stack: parallel/pipeline.py
+        h = talker_stack_fn(params["layers"], x[:, :-1], cos, sin, mask)
 
     logits = linear(h, params["codec_head"])
     talker_loss = _masked_ce(logits, batch.codec_0_labels[:, 1:], cfg.vocab_size)
